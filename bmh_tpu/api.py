@@ -1,0 +1,112 @@
+"""High-level compress/decompress API over pluggable backends.
+
+Capability contract mirrors the reference pipelines `compress`/`decompress`
+(`/root/reference/main.cpp:300-345`): whole-stream lossless round-trip with
+per-block {bwt shift, original length, code table} metadata, but multi-block
+and backend-pluggable (NumPy oracle vs batched JAX/TPU).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .utils import container
+from .utils.container import DEFAULT_BLOCK_SIZE
+
+
+class OracleBackend:
+    """Sequential NumPy backend — the correctness judge, not a hot path."""
+
+    name = "oracle"
+
+    def compress_blocks(self, blocks: list[np.ndarray]) -> list[dict]:
+        from .models import oracle
+
+        return [oracle.compress_block(b) for b in blocks]
+
+    def decompress_blocks(self, blocks: list[dict]) -> list[np.ndarray]:
+        from .models import oracle
+
+        out = []
+        for b in blocks:
+            present = b["present"]
+            if int(present.sum()) == 1:
+                sym = int(np.nonzero(present)[0][0])
+                codes = np.full(b["orig_len"], sym, dtype=np.uint8)
+                last = oracle.mtf_inverse(codes)
+                out.append(oracle.bwt_inverse(last, b["shift"]))
+            else:
+                out.append(
+                    oracle.decompress_block(b["payload"], b["lens"], b["shift"], b["orig_len"])
+                )
+        return out
+
+
+_BACKENDS: dict[str, object] = {}
+
+
+def get_backend(name: str):
+    if name not in _BACKENDS:
+        if name == "oracle":
+            _BACKENDS[name] = OracleBackend()
+        elif name == "jax":
+            from .models.pipeline import JaxBackend
+
+            _BACKENDS[name] = JaxBackend()
+        else:
+            raise ValueError(f"unknown backend {name!r}")
+    return _BACKENDS[name]
+
+
+def compress_bytes(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK_SIZE,
+                   backend: str = "jax") -> bytes:
+    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
+    blocks = container.split_blocks(arr, block_size)
+    results = get_backend(backend).compress_blocks(blocks)
+    packed = []
+    for blk, r in zip(blocks, results):
+        present = r["freqs"] > 0
+        packed.append(
+            container.pack_block(r["orig_len"], r["shift"], r["lens"], present, r["payload"])
+        )
+    return container.pack_file(packed, block_size, arr.size)
+
+
+def decompress_bytes(buf: bytes, backend: str = "jax") -> bytes:
+    block_size, total_size, raw_blocks = container.unpack_file(buf)
+    infos = []
+    for raw in raw_blocks:
+        orig_len, shift, lens, present, payload = container.unpack_block(raw)
+        infos.append({
+            "orig_len": orig_len,
+            "shift": shift,
+            "lens": lens,
+            "present": present,
+            "payload": payload,
+        })
+    if not infos:
+        return b""
+    parts = get_backend(backend).decompress_blocks(infos)
+    out = b"".join(p.tobytes() for p in parts)
+    if len(out) != total_size:
+        raise ValueError(f"decoded {len(out)} bytes, expected {total_size}")
+    return out
+
+
+def compress_file(in_path: str, out_path: str, block_size: int = DEFAULT_BLOCK_SIZE,
+                  backend: str = "jax") -> dict:
+    with open(in_path, "rb") as f:
+        data = f.read()
+    blob = compress_bytes(data, block_size=block_size, backend=backend)
+    with open(out_path, "wb") as f:
+        f.write(blob)
+    return {"initial_data_size": len(data), "encoded_file_size": len(blob)}
+
+
+def decompress_file(in_path: str, out_path: str, backend: str = "jax") -> dict:
+    with open(in_path, "rb") as f:
+        blob = f.read()
+    data = decompress_bytes(blob, backend=backend)
+    with open(out_path, "wb") as f:
+        f.write(data)
+    return {"encoded_file_size": len(blob), "decoded_size": len(data)}

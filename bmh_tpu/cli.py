@@ -1,0 +1,116 @@
+"""CLI driver: runtime subcommands replacing the reference's compile-time modes.
+
+The reference selects COMPRESS / DECOMPRESS / FULL_PIPELINE at compile time
+via preprocessor defines (/root/reference/CMakeLists.txt:6-8,
+main.cpp:416-457).  Here they are runtime verbs:
+
+    python -m bmh_tpu compress   <in> <out> [--block-size N] [--backend jax|oracle]
+    python -m bmh_tpu decompress <in> <out> [--backend jax|oracle]
+    python -m bmh_tpu bench      [--corpus DIR] [--backend jax|oracle] [--block-size N]
+
+`bench` is the FULL_PIPELINE equivalent: compress + decompress + bit-exact
+verify over the Calgary corpus with per-file success/fail and `$$` metrics
+(main.cpp:416-438).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from . import api
+from .utils import corpus as corpus_mod
+from .utils.container import DEFAULT_BLOCK_SIZE
+from .utils.metrics import metrics_line
+
+
+def cmd_compress(args) -> int:
+    t0 = time.perf_counter()
+    info = api.compress_file(args.input, args.output, block_size=args.block_size,
+                             backend=args.backend)
+    dt = time.perf_counter() - t0
+    print(metrics_line(args.output, info["initial_data_size"], info["encoded_file_size"],
+                       seconds=dt))
+    return 0
+
+
+def cmd_decompress(args) -> int:
+    t0 = time.perf_counter()
+    info = api.decompress_file(args.input, args.output, backend=args.backend)
+    dt = time.perf_counter() - t0
+    print(metrics_line(args.output, info["decoded_size"], info["encoded_file_size"],
+                       seconds=dt))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import os
+
+    d = args.corpus or (str(corpus_mod.corpus_dir()) if corpus_mod.corpus_dir() else None)
+    if d is None:
+        print("no corpus found; set --corpus or BMH_CORPUS_DIR", file=sys.stderr)
+        return 1
+    files = args.files.split(",") if args.files else corpus_mod.CALGARY_FILES
+    total_in = total_out = 0
+    t_start = time.perf_counter()
+    failures = 0
+    for i, name in enumerate(files, 1):
+        path = os.path.join(d, name)
+        with open(path, "rb") as f:
+            data = f.read()
+        t0 = time.perf_counter()
+        blob = api.compress_bytes(data, block_size=args.block_size, backend=args.backend)
+        t1 = time.perf_counter()
+        back = api.decompress_bytes(blob, backend=args.backend)
+        t2 = time.perf_counter()
+        ok = back == data
+        failures += 0 if ok else 1
+        total_in += len(data)
+        total_out += len(blob)
+        print(f"{i}/{len(files)} " + metrics_line(name, len(data), len(blob), seconds=t1 - t0)
+              + f" $$ decode_s: {t2 - t1:.3f} $$ " + ("success" if ok else "fail"))
+    wall = time.perf_counter() - t_start
+    rate = total_out / total_in if total_in else 0.0
+    print(f"TOTAL $$ in: {total_in} $$ out: {total_out} $$ rate: {rate:.4f} "
+          f"$$ wall_s: {wall:.2f} $$ roundtrip_MB_per_s: {2 * total_in / wall / 1e6:.3f}")
+    return 1 if failures else 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="bmh_tpu", description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--backend", default="jax", choices=["jax", "oracle"])
+
+    c = sub.add_parser("compress", help="compress a file to .bzt")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.add_argument("--block-size", type=int, default=DEFAULT_BLOCK_SIZE)
+    common(c)
+    c.set_defaults(fn=cmd_compress)
+
+    dc = sub.add_parser("decompress", help="decompress a .bzt file")
+    dc.add_argument("input")
+    dc.add_argument("output")
+    common(dc)
+    dc.set_defaults(fn=cmd_decompress)
+
+    b = sub.add_parser("bench", help="Calgary benchmark: round-trip + verify")
+    b.add_argument("--corpus", default=None)
+    b.add_argument("--files", default=None, help="comma-separated subset")
+    b.add_argument("--block-size", type=int, default=DEFAULT_BLOCK_SIZE)
+    common(b)
+    b.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,132 @@
+"""The `.bzt` container format (multi-block successor of the reference `.bzap`).
+
+The reference container (`/root/reference/io_utilities.h:7-55`) stores one
+whole-file block with a 24-byte native-endian header {bwt shift, original
+size, tree size} followed by a pre-order bit-serialised Huffman tree
+(10 bits per present symbol) and the bit-packed payload.
+
+`.bzt` carries the same information *per block* plus a file-level header so
+that blocks are independent (data-parallel across TPU chips) and locatable
+without parsing:
+
+    file header (24 B, little-endian):
+        magic      4s   = b"BZT1"
+        version    u8   = 1
+        flags      u8   = 0
+        reserved   u16  = 0
+        block_size u32  nominal uncompressed block length
+        n_blocks   u32
+        total_size u64  original stream length
+    block table: u32 compressed byte length per block
+    blocks, concatenated:
+        orig_len   u32  uncompressed length of this block (<= block_size)
+        bwt_shift  u32  sorted position of rotation 0
+        bitmap     32 B present-symbol bitmap (bit s = byte s>>3, bit s&7)
+        lens       ceil(5*S/8) B — 5-bit code lengths of the S present
+                   symbols in ascending symbol order, MSB-first
+        payload    ceil(total_bits/8) B — MSB-first canonical Huffman bits
+
+The code-length table replaces the reference's 10-bit-per-symbol tree
+serialisation: 32 + ceil(5S/8) bytes vs ceil((10S-1)/8), smaller for every S,
+so `.bzt` files are <= the reference `.bzap` size for the single-block case.
+A block whose 256-bin histogram has exactly one present symbol stores that
+symbol's length as 0 and an empty payload.  An empty input stream is a valid
+file with n_blocks == 0.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAGIC = b"BZT1"
+VERSION = 1
+FILE_HEADER = struct.Struct("<4sBBHIIQ")
+BLOCK_HEADER = struct.Struct("<II")
+ALPHABET = 256
+BITMAP_BYTES = ALPHABET // 8
+DEFAULT_BLOCK_SIZE = 1 << 20
+
+
+def pack_lens(lens: np.ndarray, present: np.ndarray) -> bytes:
+    """Bitmap + packed 5-bit lengths for present symbols (ascending symbol)."""
+    bitmap = bytearray(BITMAP_BYTES)
+    for s in np.nonzero(present)[0]:
+        bitmap[s >> 3] |= 1 << (s & 7)
+    syms = np.nonzero(present)[0]
+    nbits = 5 * syms.size
+    packed = bytearray((nbits + 7) // 8)
+    bitpos = 0
+    for s in syms:
+        v = int(lens[s])
+        for k in range(4, -1, -1):
+            if (v >> k) & 1:
+                packed[bitpos >> 3] |= 0x80 >> (bitpos & 7)
+            bitpos += 1
+    return bytes(bitmap) + bytes(packed)
+
+
+def unpack_lens(buf: bytes, off: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Returns (lens (256,) uint8, present mask (256,) bool, new offset)."""
+    bitmap = buf[off:off + BITMAP_BYTES]
+    off += BITMAP_BYTES
+    present = np.zeros(ALPHABET, dtype=bool)
+    for s in range(ALPHABET):
+        if (bitmap[s >> 3] >> (s & 7)) & 1:
+            present[s] = True
+    syms = np.nonzero(present)[0]
+    nbits = 5 * syms.size
+    nbytes = (nbits + 7) // 8
+    packed = buf[off:off + nbytes]
+    off += nbytes
+    lens = np.zeros(ALPHABET, dtype=np.uint8)
+    bitpos = 0
+    for s in syms:
+        v = 0
+        for _ in range(5):
+            v = (v << 1) | ((packed[bitpos >> 3] >> (7 - (bitpos & 7))) & 1)
+            bitpos += 1
+        lens[s] = v
+    return lens, present, off
+
+
+def pack_block(orig_len: int, bwt_shift: int, lens: np.ndarray,
+               present: np.ndarray, payload: bytes) -> bytes:
+    head = BLOCK_HEADER.pack(orig_len, bwt_shift)
+    return head + pack_lens(lens, present) + payload
+
+
+def unpack_block(buf: bytes) -> tuple[int, int, np.ndarray, np.ndarray, bytes]:
+    """Returns (orig_len, bwt_shift, lens, present, payload)."""
+    orig_len, bwt_shift = BLOCK_HEADER.unpack_from(buf, 0)
+    lens, present, off = unpack_lens(buf, BLOCK_HEADER.size)
+    return orig_len, bwt_shift, lens, present, buf[off:]
+
+
+def pack_file(blocks: list[bytes], block_size: int, total_size: int) -> bytes:
+    header = FILE_HEADER.pack(MAGIC, VERSION, 0, 0, block_size, len(blocks), total_size)
+    table = struct.pack(f"<{len(blocks)}I", *(len(b) for b in blocks))
+    return header + table + b"".join(blocks)
+
+
+def unpack_file(buf: bytes) -> tuple[int, int, list[bytes]]:
+    """Returns (block_size, total_size, list of raw block buffers)."""
+    magic, version, _flags, _res, block_size, n_blocks, total_size = FILE_HEADER.unpack_from(buf, 0)
+    if magic != MAGIC:
+        raise ValueError(f"bad magic {magic!r}; not a .bzt file")
+    if version != VERSION:
+        raise ValueError(f"unsupported .bzt version {version}")
+    off = FILE_HEADER.size
+    sizes = struct.unpack_from(f"<{n_blocks}I", buf, off)
+    off += 4 * n_blocks
+    blocks = []
+    for sz in sizes:
+        blocks.append(buf[off:off + sz])
+        off += sz
+    return block_size, total_size, blocks
+
+
+def split_blocks(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK_SIZE) -> list[np.ndarray]:
+    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
+    return [arr[i:i + block_size] for i in range(0, arr.size, block_size)]

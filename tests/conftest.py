@@ -1,0 +1,20 @@
+"""Test config: force an 8-device virtual CPU mesh before JAX initialises.
+
+Multi-chip sharding is validated on virtual CPU devices per the driver's
+contract; real-TPU runs happen in bench.py, not the unit suite.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
