@@ -1,0 +1,143 @@
+"""TPU-native move-to-front transform.
+
+The reference MTF is a strictly sequential 256-entry list scan+rotate per
+input byte (/root/reference/main.cpp:93-130).  Here both directions are
+reformulated for data parallelism:
+
+* Forward: the MTF code of symbol s at position i equals the number of
+  *distinct* symbols whose most recent occurrence lies strictly between s's
+  previous occurrence and i.  With the initial identity list modelled as 256
+  virtual occurrences prepended per chunk (ordered by the chunk's incoming
+  list), the code becomes a windowed distinct count:
+
+      code[i] = #{ j : prev[i] < j < i  and  prev[j] <= prev[i] }
+
+  evaluated per fixed-size chunk against the chunk-extended sequence.  The
+  incoming list of each chunk is recovered from an exclusive running max of
+  per-chunk last-occurrence tables — a parallel scan, not a serial walk.
+
+* Inverse: each MTF step is the *fixed* position-permutation
+  rot(c): [c, 0, 1, .., c-1, c+1, ..] applied to the list, independent of
+  the list contents.  Decoding therefore factors into an in-chunk
+  permutation-composition scan (depth = chunk size, vectorised over all
+  chunks) plus a log-depth associative scan composing whole-chunk
+  permutations across chunks.
+
+Both directions take (Nmax,) padded arrays with a traced true length n;
+Nmax must be a multiple of the chunk size.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+ALPHABET = 256
+DEFAULT_CHUNK = 128
+_NEG_BIG = jnp.int32(-(2**30))
+
+
+def mtf_forward(data: jax.Array, n: jax.Array, chunk: int = DEFAULT_CHUNK) -> jax.Array:
+    """Parallel MTF encode. data: (Nmax,) uint8; returns (Nmax,) uint8 codes."""
+    nmax = data.shape[0]
+    assert nmax % chunk == 0, "Nmax must be a multiple of the MTF chunk size"
+    k = nmax // chunk
+    m = chunk
+    ext = ALPHABET + m  # extended chunk length: 256 virtual + m real
+
+    pos = jnp.arange(nmax, dtype=jnp.int32)
+    chunk_id = pos // m
+    sym = data.astype(jnp.int32)
+
+    # last occurrence of each symbol within each chunk (global position), -big if none
+    last_occ = jnp.full((k, ALPHABET), _NEG_BIG, dtype=jnp.int32)
+    last_occ = last_occ.at[chunk_id, sym].max(pos)
+
+    # incoming recency per chunk: exclusive cummax over chunks, seeded with the
+    # virtual initial-list times virt[s] = -(s+1)  (list front = most recent)
+    virt = -(jnp.arange(ALPHABET, dtype=jnp.int32) + 1)
+    run_max = jax.lax.cummax(last_occ, axis=0)
+    incoming = jnp.concatenate([
+        jnp.broadcast_to(virt, (1, ALPHABET)),
+        jnp.maximum(run_max[:-1], virt[None, :]),
+    ])  # (k, 256): recency of each symbol entering chunk k
+
+    # incoming list as a sequence ordered least-recent -> most-recent.
+    # argsort ascending by recency; recencies are distinct (global positions /
+    # distinct negatives), so the order is well defined.
+    prefix_syms = jnp.argsort(incoming, axis=-1).astype(jnp.int32)  # (k, 256)
+
+    # extended per-chunk sequence: virtual prefix then chunk bytes
+    chunks = sym.reshape(k, m)
+    e = jnp.concatenate([prefix_syms, chunks], axis=-1)  # (k, ext)
+
+    # prev occurrence within the extended chunk, via a per-chunk stable sort
+    j_idx = jnp.broadcast_to(jnp.arange(ext, dtype=jnp.int32), (k, ext))
+    sv, sj = jax.lax.sort((e, j_idx), num_keys=1, is_stable=True, dimension=-1)
+    same = jnp.concatenate([
+        jnp.zeros((k, 1), dtype=jnp.bool_),
+        sv[:, 1:] == sv[:, :-1],
+    ], axis=-1)
+    prev_sorted = jnp.where(same, jnp.pad(sj, ((0, 0), (1, 0)))[:, :-1], -1)
+    row = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[:, None], (k, ext))
+    prev = jnp.zeros((k, ext), dtype=jnp.int32).at[row, sj].set(prev_sorted)
+
+    # windowed distinct count: for real position i (local index 256+t),
+    # code = sum_j (prev[i] < j < i) & (prev[j] <= prev[i])
+    t_i = prev[:, ALPHABET:]                      # (k, m) window starts
+    i_loc = jnp.arange(ALPHABET, ext, dtype=jnp.int32)  # (m,)
+    j_loc = jnp.arange(ext, dtype=jnp.int32)      # (ext,)
+    in_window = (j_loc[None, None, :] > t_i[:, :, None]) & (j_loc[None, None, :] < i_loc[None, :, None])
+    dominated = prev[:, None, :] <= t_i[:, :, None]
+    codes = jnp.sum(in_window & dominated, axis=-1, dtype=jnp.int32)  # (k, m)
+
+    out = codes.reshape(nmax).astype(jnp.uint8)
+    return jnp.where(pos < n, out, 0).astype(jnp.uint8)
+
+
+def _rot_apply(q: jax.Array, c: jax.Array) -> jax.Array:
+    """q' = q ∘ rot(c) for a batch: q (B,256) int32, c (B,) int32.
+
+    rot(c)[0] = c, rot(c)[p] = p-1 for 1<=p<=c, p for p>c — the fixed
+    position-permutation of one inverse-MTF step.
+    """
+    b = q.shape[0]
+    p = jnp.arange(ALPHABET, dtype=jnp.int32)[None, :]
+    q_shift = jnp.roll(q, 1, axis=-1)
+    q_c = jnp.take_along_axis(q, c[:, None], axis=-1)  # (B,1)
+    return jnp.where(p == 0, q_c, jnp.where(p <= c[:, None], q_shift, q))
+
+
+def mtf_inverse(codes: jax.Array, n: jax.Array, chunk: int = DEFAULT_CHUNK) -> jax.Array:
+    """Parallel MTF decode. codes: (Nmax,) uint8; returns (Nmax,) uint8 symbols."""
+    nmax = codes.shape[0]
+    assert nmax % chunk == 0
+    k = nmax // chunk
+    m = chunk
+    c_chunks = codes.reshape(k, m).astype(jnp.int32).T  # (m, k) scan over steps
+
+    ident = jnp.broadcast_to(jnp.arange(ALPHABET, dtype=jnp.int32), (k, ALPHABET))
+
+    def step(q, c):
+        # y = q[c]: position in the chunk's incoming list of this step's symbol
+        y = jnp.take_along_axis(q, c[:, None], axis=-1)[:, 0]
+        return _rot_apply(q, c), y
+
+    pi_full, ys = jax.lax.scan(step, ident, c_chunks)  # pi_full (k,256), ys (m,k)
+
+    # exclusive prefix composition of whole-chunk permutations:
+    # incoming_list[k] = pi_0 ∘ pi_1 ∘ ... ∘ pi_{k-1} applied to identity
+    def compose(a, b):
+        # (a then b) as functions on positions: result[p] = a[b[p]]
+        return jnp.take_along_axis(a, b, axis=-1)
+
+    if k > 1:
+        prefixes = jax.lax.associative_scan(compose, pi_full, axis=0)
+        incoming = jnp.concatenate([ident[:1], prefixes[:-1]], axis=0)  # (k, 256)
+    else:
+        incoming = ident[:1]
+
+    syms = jnp.take_along_axis(incoming, ys.T, axis=-1)  # (k, m)
+    out = syms.reshape(nmax).astype(jnp.uint8)
+    pos = jnp.arange(nmax, dtype=jnp.int32)
+    return jnp.where(pos < n, out, 0).astype(jnp.uint8)
