@@ -1,0 +1,61 @@
+"""End-to-end JAX backend round-trips, including Calgary acceptance files."""
+
+import numpy as np
+import pytest
+
+from bmh_tpu import compress_bytes, decompress_bytes
+from bmh_tpu.utils import corpus
+
+
+def test_jax_roundtrip_random(rng):
+    for n in [1, 5, 100, 1000, 10000]:
+        data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        blob = compress_bytes(data, backend="jax")
+        assert decompress_bytes(blob, backend="jax") == data
+
+
+def test_jax_roundtrip_structured(rng):
+    cases = [
+        b"",
+        b"a",
+        b"abracadabra" * 200,
+        bytes(5000),                       # single symbol
+        bytes(rng.integers(0, 4, 20000, dtype=np.uint8)),
+        bytes(np.tile(np.arange(7, dtype=np.uint8), 999)),
+    ]
+    for data in cases:
+        blob = compress_bytes(data, backend="jax")
+        assert decompress_bytes(blob, backend="jax") == data
+
+
+def test_jax_multiblock(rng):
+    data = bytes(rng.integers(0, 64, 50000, dtype=np.uint8))
+    blob = compress_bytes(data, block_size=8192, backend="jax")
+    assert decompress_bytes(blob, backend="jax") == data
+
+
+def test_cross_backend_interop(rng):
+    # a .bzt produced by either backend decodes on the other (format contract);
+    # byte-identical blobs are not required — both Huffman builders are optimal
+    # but may pick different (equal-total) code length profiles
+    data = bytes(rng.integers(0, 200, 3000, dtype=np.uint8))
+    blob_j = compress_bytes(data, backend="jax")
+    blob_o = compress_bytes(data, backend="oracle")
+    assert decompress_bytes(blob_j, backend="oracle") == data
+    assert decompress_bytes(blob_o, backend="jax") == data
+    assert len(blob_j) == len(blob_o)  # equal-total-bits invariant
+
+
+def test_jax_determinism(rng):
+    data = bytes(rng.integers(0, 200, 3000, dtype=np.uint8))
+    assert compress_bytes(data, backend="jax") == compress_bytes(data, backend="jax")
+
+
+@pytest.mark.skipif(corpus.corpus_dir() is None, reason="calgary corpus not present")
+@pytest.mark.parametrize("name", ["paper1", "progc"])
+def test_calgary_acceptance(name):
+    data = corpus.read_corpus_file(name)
+    blob = compress_bytes(data, backend="jax")
+    assert decompress_bytes(blob, backend="jax") == data
+    assert len(blob) <= corpus.REFERENCE_SIZES[name], (
+        f"{name}: {len(blob)} > reference {corpus.REFERENCE_SIZES[name]}")
