@@ -1,0 +1,70 @@
+"""Calgary round-trip benchmark — prints ONE JSON line for the driver.
+
+Metric: corpus round-trip throughput (compress + decompress, bit-exact
+verified) in MB/s on the default JAX device.  Baseline: the reference C++
+binary round-trips the 14-file corpus (3,141,622 bytes each way) in 11.06 s
+= 0.568 MB/s on one CPU core (BASELINE.md, measured — the reference
+publishes no throughput numbers).
+
+A full warm pass first triggers all XLA compilations; the timed pass then
+measures steady-state device throughput, which is what a production
+deployment sees.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+REFERENCE_ROUNDTRIP_MBPS = 2 * 3141622 / 11.06 / 1e6  # 0.568
+REFERENCE_TOTAL_OUT = 1006498  # summed reference .bzap sizes (README table)
+
+
+def run(block_size: int = 131072, backend: str = "jax", files=None) -> dict:
+    from bmh_tpu import api
+    from bmh_tpu.utils import corpus
+
+    d = corpus.corpus_dir()
+    if d is None:
+        return {"metric": "calgary_roundtrip_throughput", "value": 0.0,
+                "unit": "MB/s", "vs_baseline": 0.0, "error": "corpus not found"}
+    names = files or corpus.CALGARY_FILES
+    datas = [corpus.read_corpus_file(n) for n in names]
+    total_in = sum(len(x) for x in datas)
+
+    # warm pass: compile everything (and sanity-check round trip)
+    blobs = api.compress_many(datas, block_size=block_size, backend=backend)
+    backs = api.decompress_many(blobs, backend=backend)
+    ok = all(a == b for a, b in zip(datas, backs))
+
+    # timed pass (steady state)
+    t0 = time.perf_counter()
+    blobs = api.compress_many(datas, block_size=block_size, backend=backend)
+    t1 = time.perf_counter()
+    backs = api.decompress_many(blobs, backend=backend)
+    t2 = time.perf_counter()
+    ok = ok and all(a == b for a, b in zip(datas, backs))
+
+    total_out = sum(len(b) for b in blobs)
+    wall = t2 - t0
+    mbps = 2 * total_in / wall / 1e6
+    return {
+        "metric": "calgary_roundtrip_throughput",
+        "value": round(mbps, 3),
+        "unit": "MB/s",
+        "vs_baseline": round(mbps / REFERENCE_ROUNDTRIP_MBPS, 2),
+        "bit_exact": ok,
+        "compress_s": round(t1 - t0, 3),
+        "decompress_s": round(t2 - t1, 3),
+        "compressed_bytes": total_out,
+        "ratio": round(total_out / total_in, 4),
+        "ratio_vs_reference": round(total_out / REFERENCE_TOTAL_OUT, 4),
+        "block_size": block_size,
+        "backend": backend,
+    }
+
+
+if __name__ == "__main__":
+    block_size = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
+    print(json.dumps(run(block_size=block_size)))

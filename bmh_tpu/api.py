@@ -93,6 +93,55 @@ def decompress_bytes(buf: bytes, backend: str = "jax") -> bytes:
     return out
 
 
+def compress_many(datas: list[bytes | np.ndarray], block_size: int = DEFAULT_BLOCK_SIZE,
+                  backend: str = "jax") -> list[bytes]:
+    """Compress several independent streams in one batched backend dispatch.
+
+    All blocks of all streams are flattened into a single compress_blocks
+    call so the device sees one large batch (better MXU/VPU occupancy than
+    stream-at-a-time), then containers are reassembled per stream.
+    """
+    arrs = [np.frombuffer(d, dtype=np.uint8) if isinstance(d, (bytes, bytearray))
+            else np.asarray(d, dtype=np.uint8) for d in datas]
+    flat_blocks: list[np.ndarray] = []
+    spans: list[tuple[int, int]] = []
+    for arr in arrs:
+        blocks = container.split_blocks(arr, block_size)
+        spans.append((len(flat_blocks), len(blocks)))
+        flat_blocks.extend(blocks)
+    results = get_backend(backend).compress_blocks(flat_blocks)
+    out = []
+    for arr, (start, cnt) in zip(arrs, spans):
+        packed = []
+        for r in results[start:start + cnt]:
+            present = r["freqs"] > 0
+            packed.append(container.pack_block(r["orig_len"], r["shift"], r["lens"],
+                                               present, r["payload"]))
+        out.append(container.pack_file(packed, block_size, arr.size))
+    return out
+
+
+def decompress_many(bufs: list[bytes], backend: str = "jax") -> list[bytes]:
+    """Decompress several .bzt containers in one batched backend dispatch."""
+    infos: list[dict] = []
+    spans: list[tuple[int, int, int]] = []
+    for buf in bufs:
+        _bs, total, raw_blocks = container.unpack_file(buf)
+        spans.append((len(infos), len(raw_blocks), total))
+        for raw in raw_blocks:
+            orig_len, shift, lens, present, payload = container.unpack_block(raw)
+            infos.append({"orig_len": orig_len, "shift": shift, "lens": lens,
+                          "present": present, "payload": payload})
+    parts = get_backend(backend).decompress_blocks(infos) if infos else []
+    out = []
+    for start, cnt, total in spans:
+        data = b"".join(p.tobytes() for p in parts[start:start + cnt])
+        if len(data) != total:
+            raise ValueError(f"decoded {len(data)} bytes, expected {total}")
+        out.append(data)
+    return out
+
+
 def compress_file(in_path: str, out_path: str, block_size: int = DEFAULT_BLOCK_SIZE,
                   backend: str = "jax") -> dict:
     with open(in_path, "rb") as f:

@@ -4,16 +4,18 @@ Compress: bwt_forward -> mtf_forward -> histogram (one fused jit), host-side
 256-entry canonical code-length build, then the jitted bitpack encoder.
 Decompress: jitted gap decoder, then fused inverse MTF + inverse BWT.
 
-Blocks are padded into power-of-two size buckets so a handful of XLA
-compilations serve arbitrary inputs; true lengths are traced scalars.
-This mirrors the reference pipelines compress/decompress
-(/root/reference/main.cpp:300-345) with every hot loop replaced by a
-parallel device kernel (SURVEY §2.3 build obligations).
+Blocks are padded into power-of-two size buckets and batched per bucket, so
+a handful of XLA compilations serve arbitrary inputs and many blocks run as
+one device dispatch (the data-parallel axis of SURVEY §2.4).  True lengths
+are traced scalars.  This mirrors the reference pipelines
+compress/decompress (/root/reference/main.cpp:300-345) with every hot loop
+replaced by a parallel device kernel (SURVEY §2.3 build obligations).
 """
 
 from __future__ import annotations
 
 import functools
+from collections import defaultdict
 
 import jax
 import jax.numpy as jnp
@@ -36,122 +38,171 @@ def _bucket(n: int) -> int:
     return max(MIN_BUCKET, _next_pow2(n))
 
 
-@functools.lru_cache(maxsize=64)
-def _compress_stage1(nmax: int):
-    @jax.jit
-    def f(data, n):
-        last, shift = ops_bwt.bwt_forward(data, n)
-        codes = ops_mtf.mtf_forward(last, n, MTF_CHUNK)
-        freqs = ops_huf.histogram(codes, n)
-        return codes, freqs, shift
+# ---------------------------------------------------------------------------
+# Jitted batched stages (cached per static shape)
+# ---------------------------------------------------------------------------
 
-    return f
-
-
-@functools.lru_cache(maxsize=64)
-def _compress_stage2(nmax: int):
-    @jax.jit
-    def f(codes, n, len_tbl, code_tbl):
-        return ops_huf.encode_bitpack(codes, n, len_tbl, code_tbl)
-
-    return f
+def compress_stage1_fn(data, n):
+    """(nmax,) uint8, scalar n -> (mtf codes, 256-histogram, bwt shift)."""
+    last, shift = ops_bwt.bwt_forward(data, n)
+    codes = ops_mtf.mtf_forward(last, n, MTF_CHUNK)
+    freqs = ops_huf.histogram(codes, n)
+    return codes, freqs, shift
 
 
-@functools.lru_cache(maxsize=64)
-def _decompress_stage1(nwords: int, chunk_bits: int):
-    @jax.jit
+def decompress_stage2_fn(codes, shift, n):
+    """(nmax,) uint8 MTF codes -> original block bytes."""
+    last = ops_mtf.mtf_inverse(codes, n, MTF_CHUNK)
+    return ops_bwt.bwt_inverse(last, shift, n)
+
+
+@functools.lru_cache(maxsize=128)
+def _batched_stage1(nmax: int, batch: int):
+    return jax.jit(jax.vmap(compress_stage1_fn))
+
+
+@functools.lru_cache(maxsize=128)
+def _batched_stage2(nmax: int, batch: int):
+    return jax.jit(jax.vmap(ops_huf.encode_bitpack))
+
+
+@functools.lru_cache(maxsize=128)
+def _batched_decode1(nwords: int, batch: int, chunk_bits: int):
     def f(words, count, first, offset, sym, n):
         tables = {"count": count, "first": first, "offset": offset, "sym": sym}
         return ops_huf.gap_decode(words, tables, n, chunk_bits=chunk_bits)
 
-    return f
+    return jax.jit(jax.vmap(f))
 
 
-@functools.lru_cache(maxsize=64)
-def _decompress_stage2(nmax: int):
-    @jax.jit
-    def f(codes, shift, n):
-        last = ops_mtf.mtf_inverse(codes, n, MTF_CHUNK)
-        return ops_bwt.bwt_inverse(last, shift, n)
+@functools.lru_cache(maxsize=128)
+def _batched_decode2(nmax: int, batch: int):
+    return jax.jit(jax.vmap(decompress_stage2_fn))
 
-    return f
 
+# ---------------------------------------------------------------------------
+# Backend
+# ---------------------------------------------------------------------------
 
 class JaxBackend:
-    """Block codec on the default JAX device (TPU when present)."""
+    """Block codec on the default JAX device (TPU when present).
+
+    Blocks are grouped by padded-size bucket and processed as one batched
+    dispatch per group; batch sizes are padded to powers of two so compiled
+    programs are reused across calls.
+    """
 
     name = "jax"
 
     def compress_blocks(self, blocks: list[np.ndarray]) -> list[dict]:
-        out = []
-        for blk in blocks:
-            blk = np.asarray(blk, dtype=np.uint8)
-            n = blk.size
-            nmax = _bucket(n)
-            padded = np.zeros(nmax, dtype=np.uint8)
-            padded[:n] = blk
-            codes, freqs, shift = _compress_stage1(nmax)(jnp.asarray(padded), jnp.int32(n))
+        results: list[dict | None] = [None] * len(blocks)
+        groups: dict[int, list[int]] = defaultdict(list)
+        arrs = [np.asarray(b, dtype=np.uint8) for b in blocks]
+        for i, blk in enumerate(arrs):
+            groups[_bucket(blk.size)].append(i)
+
+        for nmax, idxs in groups.items():
+            b_real = len(idxs)
+            b_pad = _next_pow2(b_real)
+            batch = np.zeros((b_pad, nmax), dtype=np.uint8)
+            ns = np.ones(b_pad, dtype=np.int32)  # dummy rows compress n=1
+            for row, i in enumerate(idxs):
+                batch[row, : arrs[i].size] = arrs[i]
+                ns[row] = arrs[i].size
+            codes, freqs, shifts = _batched_stage1(nmax, b_pad)(
+                jnp.asarray(batch), jnp.asarray(ns))
             freqs_np = np.asarray(freqs)
-            lens = ops_huf.code_lengths_from_hist(freqs_np)
-            if (lens > 0).sum() == 0:
-                # zero or one distinct symbol: empty payload
-                out.append({
-                    "orig_len": n,
-                    "shift": int(shift),
-                    "lens": lens,
-                    "freqs": freqs_np,
-                    "payload": b"",
-                    "total_bits": 0,
-                })
-                continue
-            code_tbl = ops_huf.canonical_code_table(lens)
-            words, total_bits = _compress_stage2(nmax)(
-                codes, jnp.int32(n),
-                jnp.asarray(lens.astype(np.int32)), jnp.asarray(code_tbl))
-            tb = int(total_bits)
-            payload = np.asarray(words).astype(">u4").tobytes()[: (tb + 7) // 8]
-            out.append({
-                "orig_len": n,
-                "shift": int(shift),
-                "lens": lens,
-                "freqs": freqs_np,
-                "payload": payload,
-                "total_bits": tb,
-            })
-        return out
+            shifts_np = np.asarray(shifts)
+
+            lens_all = np.zeros((b_pad, 256), dtype=np.uint8)
+            code_tbls = np.zeros((b_pad, 256), dtype=np.uint32)
+            for row in range(b_real):
+                lens_all[row] = ops_huf.code_lengths_from_hist(freqs_np[row])
+                if (lens_all[row] > 0).any():
+                    code_tbls[row] = ops_huf.canonical_code_table(lens_all[row])
+            words, total_bits = _batched_stage2(nmax, b_pad)(
+                codes, jnp.asarray(ns),
+                jnp.asarray(lens_all.astype(np.int32)), jnp.asarray(code_tbls))
+            words_np = np.asarray(words)
+            bits_np = np.asarray(total_bits)
+
+            for row, i in enumerate(idxs):
+                tb = int(bits_np[row])
+                payload = (words_np[row].astype(">u4").tobytes()[: (tb + 7) // 8]
+                           if (lens_all[row] > 0).any() else b"")
+                results[i] = {
+                    "orig_len": int(ns[row]),
+                    "shift": int(shifts_np[row]),
+                    "lens": lens_all[row],
+                    "freqs": freqs_np[row],
+                    "payload": payload,
+                    "total_bits": tb,
+                }
+        return results  # type: ignore[return-value]
 
     def decompress_blocks(self, blocks: list[dict]) -> list[np.ndarray]:
-        out = []
-        for b in blocks:
+        results: list[np.ndarray | None] = [None] * len(blocks)
+
+        # stage 1: Huffman gap decode, grouped by padded word count
+        mtf_codes: list[np.ndarray | None] = [None] * len(blocks)
+        dgroups: dict[int, list[int]] = defaultdict(list)
+        for i, b in enumerate(blocks):
             n = int(b["orig_len"])
-            if n == 0:
-                out.append(np.zeros(0, dtype=np.uint8))
-                continue
-            nmax = _bucket(n)
             present = np.asarray(b["present"])
-            lens = np.asarray(b["lens"])
-            if int(present.sum()) == 1:
+            if n == 0:
+                results[i] = np.zeros(0, dtype=np.uint8)
+            elif int(present.sum()) == 1:
                 sym = int(np.nonzero(present)[0][0])
-                codes_padded = np.zeros(nmax, dtype=np.uint8)
-                codes_padded[:n] = sym
-                codes_dev = jnp.asarray(codes_padded)
+                mtf_codes[i] = np.full(n, sym, dtype=np.uint8)
             else:
-                payload = b["payload"]
-                chunk_bits = DECODE_CHUNK_BITS
-                wbytes = chunk_bits // 8
-                # pad payload to a pow2 number of chunks to bound compilations
-                nchunks = max(1, -(-len(payload) // wbytes))
+                wbytes = DECODE_CHUNK_BITS // 8
+                nchunks = max(1, -(-len(b["payload"]) // wbytes))
                 nchunks = _next_pow2(nchunks) if nchunks > 1 else 1
-                buf = payload + b"\x00" * (nchunks * wbytes - len(payload))
-                words = np.frombuffer(buf, dtype=">u4").astype(np.uint32)
-                tbl = ops_huf.decode_tables(lens)
-                decoded = _decompress_stage1(words.size, chunk_bits)(
-                    jnp.asarray(words), jnp.asarray(tbl["count"]), jnp.asarray(tbl["first"]),
-                    jnp.asarray(tbl["offset"]), jnp.asarray(tbl["sym"]), jnp.int32(n))
-                dec_np = np.asarray(decoded)
-                codes_padded = np.zeros(nmax, dtype=np.uint8)
-                codes_padded[:n] = dec_np[:n]
-                codes_dev = jnp.asarray(codes_padded)
-            data = _decompress_stage2(nmax)(codes_dev, jnp.int32(b["shift"]), jnp.int32(n))
-            out.append(np.asarray(data)[:n])
-        return out
+                dgroups[nchunks].append(i)
+
+        for nchunks, idxs in dgroups.items():
+            wbytes = DECODE_CHUNK_BITS // 8
+            nwords = nchunks * wbytes // 4
+            b_real = len(idxs)
+            b_pad = _next_pow2(b_real)
+            words = np.zeros((b_pad, nwords), dtype=np.uint32)
+            ns = np.ones(b_pad, dtype=np.int32)
+            tb = {k: np.zeros((b_pad, *np.shape(v)), dtype=np.asarray(v).dtype)
+                  for k, v in ops_huf.decode_tables(np.zeros(256)).items()}
+            for row, i in enumerate(idxs):
+                b = blocks[i]
+                buf = b["payload"] + b"\x00" * (nchunks * wbytes - len(b["payload"]))
+                words[row] = np.frombuffer(buf, dtype=">u4").astype(np.uint32)
+                ns[row] = int(b["orig_len"])
+                t = ops_huf.decode_tables(np.asarray(b["lens"]))
+                for k in t:
+                    tb[k][row] = t[k]
+            decoded = _batched_decode1(nwords, b_pad, DECODE_CHUNK_BITS)(
+                jnp.asarray(words), jnp.asarray(tb["count"]), jnp.asarray(tb["first"]),
+                jnp.asarray(tb["offset"]), jnp.asarray(tb["sym"]), jnp.asarray(ns))
+            dec_np = np.asarray(decoded)
+            for row, i in enumerate(idxs):
+                mtf_codes[i] = dec_np[row, : int(ns[row])]
+
+        # stage 2: inverse MTF + inverse BWT, grouped by block bucket
+        sgroups: dict[int, list[int]] = defaultdict(list)
+        for i, b in enumerate(blocks):
+            if results[i] is None:
+                sgroups[_bucket(int(b["orig_len"]))].append(i)
+        for nmax, idxs in sgroups.items():
+            b_real = len(idxs)
+            b_pad = _next_pow2(b_real)
+            batch = np.zeros((b_pad, nmax), dtype=np.uint8)
+            ns = np.ones(b_pad, dtype=np.int32)
+            shifts = np.zeros(b_pad, dtype=np.int32)
+            for row, i in enumerate(idxs):
+                c = mtf_codes[i]
+                batch[row, : c.size] = c
+                ns[row] = c.size
+                shifts[row] = int(blocks[i]["shift"])
+            data = _batched_decode2(nmax, b_pad)(
+                jnp.asarray(batch), jnp.asarray(shifts), jnp.asarray(ns))
+            data_np = np.asarray(data)
+            for row, i in enumerate(idxs):
+                results[i] = data_np[row, : int(ns[row])]
+        return results  # type: ignore[return-value]

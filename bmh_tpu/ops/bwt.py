@@ -68,7 +68,9 @@ def bwt_forward(data: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]:
         _, h, done = state
         return jnp.logical_and(h < nmax, jnp.logical_not(done))
 
-    rank, _, _ = jax.lax.while_loop(cond, round_body, (rank, jnp.int32(1), jnp.bool_(False)))
+    # initial done: n <= 1 means ranks are trivially distinct already (also
+    # keeps the carry's mesh-varying type stable under shard_map)
+    rank, _, _ = jax.lax.while_loop(cond, round_body, (rank, jnp.int32(1), n <= 1))
 
     # final order: by rank, ties by index (stable) — equal full rotations
     _, _, order = _stable_sort3(rank, pos, pos)

@@ -1,0 +1,31 @@
+"""Mesh helpers: the block axis is the codec's one natural parallel axis.
+
+The reference has no parallelism at all (SURVEY §2.4); here every block is
+independent (own BWT shift, own Huffman table in its header), so data
+parallelism over blocks rides a 1-D device mesh — ICI within a slice, DCN
+across hosts — with XLA collectives for the ordered compressed-block gather.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+BLOCK_AXIS = "blocks"
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = BLOCK_AXIS) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis_name,))
+
+
+def block_sharding(mesh: Mesh, axis_name: str = BLOCK_AXIS) -> NamedSharding:
+    """Shard the leading (block-batch) dimension across the mesh."""
+    return NamedSharding(mesh, PartitionSpec(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec())

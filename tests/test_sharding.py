@@ -1,0 +1,49 @@
+"""Multi-device (virtual 8-CPU mesh) shard_map tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bmh_tpu.models import oracle
+from bmh_tpu.parallel import dataparallel, mesh as mesh_mod
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual CPU devices"
+    return mesh_mod.make_mesh(8)
+
+
+def test_sharded_stage1_matches_oracle(mesh8, rng):
+    nmax, b = 256, 8
+    batch = np.zeros((b, nmax), dtype=np.uint8)
+    ns = np.zeros(b, dtype=np.int32)
+    datas = []
+    for i in range(b):
+        n = int(rng.integers(50, nmax + 1))
+        d = rng.integers(0, 256, n).astype(np.uint8)
+        batch[i, :n] = d
+        ns[i] = n
+        datas.append(d)
+    f = dataparallel.make_sharded_stage1(mesh8, nmax)
+    codes, freqs, shifts = f(jnp.asarray(batch), jnp.asarray(ns))
+    for i, d in enumerate(datas):
+        s_ref, l_ref = oracle.bwt(d)
+        want = oracle.mtf(l_ref)
+        np.testing.assert_array_equal(np.asarray(codes)[i, : d.size], want)
+        assert int(np.asarray(shifts)[i]) == s_ref
+
+
+def test_roundtrip_step_all_devices(mesh8, rng):
+    nmax, b = 256, 16  # 2 blocks per device
+    batch = np.zeros((b, nmax), dtype=np.uint8)
+    ns = np.full(b, nmax, dtype=np.int32)
+    for i in range(b):
+        batch[i] = rng.integers(0, 200, nmax).astype(np.uint8)
+    step = dataparallel.make_roundtrip_step(mesh8, nmax)
+    out, total_ok, all_bits = step(jnp.asarray(batch), jnp.asarray(ns))
+    np.testing.assert_array_equal(np.asarray(out), batch)
+    assert int(total_ok) == b * nmax
+    assert np.asarray(all_bits).shape == (b,)
+    assert (np.asarray(all_bits) == 8 * nmax).all()  # uniform 8-bit code
