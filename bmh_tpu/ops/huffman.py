@@ -47,8 +47,15 @@ def code_lengths_from_hist(freqs: np.ndarray) -> np.ndarray:
 
     Independent of the oracle's heapq construction; both are optimal Huffman
     solutions, hence identical total payload bits (the size-parity invariant
-    vs the reference's pointer-tree tie-breaking).
+    vs the reference's pointer-tree tie-breaking).  Prefers the native C
+    implementation (csrc/bmh_io.cpp) when built; this Python version is the
+    fallback and its semantic specification.
     """
+    from ..utils import nativeio
+
+    native = nativeio.code_lengths(np.asarray(freqs, dtype=np.int64))
+    if native is not None:
+        return native
     freqs = np.asarray(freqs)
     syms = np.nonzero(freqs > 0)[0]
     s = syms.size
@@ -88,6 +95,11 @@ def code_lengths_from_hist(freqs: np.ndarray) -> np.ndarray:
 
 def canonical_code_table(lens: np.ndarray) -> np.ndarray:
     """(256,) uint32 canonical code values; symbols ordered by (len, symbol)."""
+    from ..utils import nativeio
+
+    native = nativeio.canonical_codes(np.asarray(lens, dtype=np.uint8))
+    if native is not None:
+        return native
     lens = np.asarray(lens, dtype=np.int64)
     order = sorted((s for s in range(ALPHABET) if lens[s] > 0), key=lambda s: (lens[s], s))
     codes = np.zeros(ALPHABET, dtype=np.uint32)

@@ -51,6 +51,11 @@ DEFAULT_BLOCK_SIZE = 1 << 20
 
 def pack_lens(lens: np.ndarray, present: np.ndarray) -> bytes:
     """Bitmap + packed 5-bit lengths for present symbols (ascending symbol)."""
+    from . import nativeio
+
+    native = nativeio.pack_lens(lens, present)
+    if native is not None:
+        return native
     bitmap = bytearray(BITMAP_BYTES)
     for s in np.nonzero(present)[0]:
         bitmap[s >> 3] |= 1 << (s & 7)
@@ -69,6 +74,11 @@ def pack_lens(lens: np.ndarray, present: np.ndarray) -> bytes:
 
 def unpack_lens(buf: bytes, off: int) -> tuple[np.ndarray, np.ndarray, int]:
     """Returns (lens (256,) uint8, present mask (256,) bool, new offset)."""
+    from . import nativeio
+
+    native = nativeio.unpack_lens(buf, off)
+    if native is not None:
+        return native
     bitmap = buf[off:off + BITMAP_BYTES]
     off += BITMAP_BYTES
     present = np.zeros(ALPHABET, dtype=bool)
