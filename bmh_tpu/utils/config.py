@@ -1,0 +1,48 @@
+"""Runtime configuration — the reference has compile-time #defines only
+(/root/reference/CMakeLists.txt:6-8); here everything is a runtime knob,
+overridable per call or via BMH_* environment variables.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, fields
+
+
+def _env_int(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    return int(v) if v else default
+
+
+def _env_str(name: str, default: str) -> str:
+    return os.environ.get(name, default)
+
+
+@dataclass
+class CodecConfig:
+    """Knobs for the block codec and its device pipeline."""
+
+    block_size: int = field(default_factory=lambda: _env_int("BMH_BLOCK_SIZE", 1 << 20))
+    mtf_chunk: int = field(default_factory=lambda: _env_int("BMH_MTF_CHUNK", 128))
+    decode_chunk_bits: int = field(default_factory=lambda: _env_int("BMH_DECODE_CHUNK_BITS", 2048))
+    backend: str = field(default_factory=lambda: _env_str("BMH_BACKEND", "jax"))
+    min_bucket: int = field(default_factory=lambda: _env_int("BMH_MIN_BUCKET", 256))
+
+    def validate(self) -> "CodecConfig":
+        if self.block_size < 1:
+            raise ValueError("block_size must be positive")
+        if self.block_size > (1 << 21):
+            # Huffman depth > 31 becomes reachable past ~2 MiB (Fibonacci
+            # frequency pathologies); 5-bit container lengths cap at 31.
+            raise ValueError("block_size above 2 MiB risks code lengths > 31")
+        if self.mtf_chunk & (self.mtf_chunk - 1):
+            raise ValueError("mtf_chunk must be a power of two")
+        if self.decode_chunk_bits % 32:
+            raise ValueError("decode_chunk_bits must be a multiple of 32")
+        return self
+
+    def describe(self) -> str:
+        return " ".join(f"{f.name}={getattr(self, f.name)}" for f in fields(self))
+
+
+DEFAULT = CodecConfig().validate()

@@ -1,0 +1,45 @@
+"""Full Calgary corpus acceptance: bit-exact round-trip at size <= reference.
+
+This is the reference's own acceptance gate (FULL_PIPELINE,
+/root/reference/main.cpp:416-438) re-expressed: every file must round-trip
+bit-exactly and compress to no more bytes than the reference .bzap sizes
+(README table, BASELINE.md).  Marked slow: run with `-m slow` or no marker
+filter; the quick suite covers paper1/progc in test_pipeline.py.
+"""
+
+import numpy as np
+import pytest
+
+from bmh_tpu import compress_bytes, decompress_bytes
+from bmh_tpu.utils import corpus
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(corpus.corpus_dir() is None, reason="corpus not present"),
+]
+
+SMALL = ["bib", "geo", "obj1", "paper1", "paper2", "progc", "progl", "progp", "trans"]
+LARGE = ["book1", "book2", "news", "obj2", "pic"]
+
+
+@pytest.mark.parametrize("name", SMALL)
+def test_roundtrip_and_size_small(name):
+    data = corpus.read_corpus_file(name)
+    blob = compress_bytes(data, backend="jax")
+    assert decompress_bytes(blob, backend="jax") == data
+    assert len(blob) <= corpus.REFERENCE_SIZES[name]
+
+
+@pytest.mark.parametrize("name", LARGE)
+def test_roundtrip_and_size_large(name):
+    data = corpus.read_corpus_file(name)
+    blob = compress_bytes(data, backend="jax")
+    assert decompress_bytes(blob, backend="jax") == data
+    assert len(blob) <= corpus.REFERENCE_SIZES[name]
+
+
+def test_book1_multiblock_64k():
+    # BASELINE config 2: 64 KB blocks, per-block tables, ordered reassembly
+    data = corpus.read_corpus_file("book1")
+    blob = compress_bytes(data, block_size=65536, backend="jax")
+    assert decompress_bytes(blob, backend="jax") == data
