@@ -27,7 +27,7 @@ from ..ops import mtf as ops_mtf
 
 MIN_BUCKET = 256
 MTF_CHUNK = 128
-DECODE_CHUNK_BITS = 2048
+DECODE_CHUNK_BITS = 512
 
 
 def _next_pow2(x: int) -> int:
@@ -67,10 +67,16 @@ def _batched_stage2(nmax: int, batch: int):
 
 
 @functools.lru_cache(maxsize=128)
-def _batched_decode1(nwords: int, batch: int, chunk_bits: int):
-    def f(words, count, first, offset, sym, n):
+def _batched_decode_full(nwords: int, nmax: int, batch: int, chunk_bits: int):
+    """Fused Huffman gap decode + inverse MTF + inverse BWT: one dispatch."""
+    nout = nwords * 32 // chunk_bits * chunk_bits
+    keep = min(nout, nmax)
+
+    def f(words, count, first, offset, sym, shift, n):
         tables = {"count": count, "first": first, "offset": offset, "sym": sym}
-        return ops_huf.gap_decode(words, tables, n, chunk_bits=chunk_bits)
+        dec = ops_huf.gap_decode(words, tables, n, chunk_bits=chunk_bits)
+        codes = jnp.zeros(nmax, dtype=jnp.uint8).at[:keep].set(dec[:keep])
+        return decompress_stage2_fn(codes, shift, n)
 
     return jax.jit(jax.vmap(f))
 
@@ -143,30 +149,32 @@ class JaxBackend:
     def decompress_blocks(self, blocks: list[dict]) -> list[np.ndarray]:
         results: list[np.ndarray | None] = [None] * len(blocks)
 
-        # stage 1: Huffman gap decode, grouped by padded word count
-        mtf_codes: list[np.ndarray | None] = [None] * len(blocks)
-        dgroups: dict[int, list[int]] = defaultdict(list)
+        # multi-symbol blocks: fused gap decode + iMTF + iBWT, grouped by
+        # (padded chunk count, block bucket); single-symbol blocks skip the
+        # Huffman stage and only need the inverse transforms
+        dgroups: dict[tuple[int, int], list[int]] = defaultdict(list)
+        sgroups: dict[int, list[int]] = defaultdict(list)
         for i, b in enumerate(blocks):
             n = int(b["orig_len"])
             present = np.asarray(b["present"])
             if n == 0:
                 results[i] = np.zeros(0, dtype=np.uint8)
             elif int(present.sum()) == 1:
-                sym = int(np.nonzero(present)[0][0])
-                mtf_codes[i] = np.full(n, sym, dtype=np.uint8)
+                sgroups[_bucket(n)].append(i)
             else:
                 wbytes = DECODE_CHUNK_BITS // 8
                 nchunks = max(1, -(-len(b["payload"]) // wbytes))
                 nchunks = _next_pow2(nchunks) if nchunks > 1 else 1
-                dgroups[nchunks].append(i)
+                dgroups[(nchunks, _bucket(n))].append(i)
 
-        for nchunks, idxs in dgroups.items():
+        for (nchunks, nmax), idxs in dgroups.items():
             wbytes = DECODE_CHUNK_BITS // 8
             nwords = nchunks * wbytes // 4
             b_real = len(idxs)
             b_pad = _next_pow2(b_real)
             words = np.zeros((b_pad, nwords), dtype=np.uint32)
             ns = np.ones(b_pad, dtype=np.int32)
+            shifts = np.zeros(b_pad, dtype=np.int32)
             tb = {k: np.zeros((b_pad, *np.shape(v)), dtype=np.asarray(v).dtype)
                   for k, v in ops_huf.decode_tables(np.zeros(256)).items()}
             for row, i in enumerate(idxs):
@@ -174,21 +182,19 @@ class JaxBackend:
                 buf = b["payload"] + b"\x00" * (nchunks * wbytes - len(b["payload"]))
                 words[row] = np.frombuffer(buf, dtype=">u4").astype(np.uint32)
                 ns[row] = int(b["orig_len"])
+                shifts[row] = int(b["shift"])
                 t = ops_huf.decode_tables(np.asarray(b["lens"]))
                 for k in t:
                     tb[k][row] = t[k]
-            decoded = _batched_decode1(nwords, b_pad, DECODE_CHUNK_BITS)(
+            data = _batched_decode_full(nwords, nmax, b_pad, DECODE_CHUNK_BITS)(
                 jnp.asarray(words), jnp.asarray(tb["count"]), jnp.asarray(tb["first"]),
-                jnp.asarray(tb["offset"]), jnp.asarray(tb["sym"]), jnp.asarray(ns))
-            dec_np = np.asarray(decoded)
+                jnp.asarray(tb["offset"]), jnp.asarray(tb["sym"]),
+                jnp.asarray(shifts), jnp.asarray(ns))
+            data_np = np.asarray(data)
             for row, i in enumerate(idxs):
-                mtf_codes[i] = dec_np[row, : int(ns[row])]
+                results[i] = data_np[row, : int(ns[row])]
 
-        # stage 2: inverse MTF + inverse BWT, grouped by block bucket
-        sgroups: dict[int, list[int]] = defaultdict(list)
-        for i, b in enumerate(blocks):
-            if results[i] is None:
-                sgroups[_bucket(int(b["orig_len"]))].append(i)
+        # single-symbol blocks: materialise codes, inverse transforms only
         for nmax, idxs in sgroups.items():
             b_real = len(idxs)
             b_pad = _next_pow2(b_real)
@@ -196,10 +202,12 @@ class JaxBackend:
             ns = np.ones(b_pad, dtype=np.int32)
             shifts = np.zeros(b_pad, dtype=np.int32)
             for row, i in enumerate(idxs):
-                c = mtf_codes[i]
-                batch[row, : c.size] = c
-                ns[row] = c.size
-                shifts[row] = int(blocks[i]["shift"])
+                b = blocks[i]
+                n = int(b["orig_len"])
+                sym = int(np.nonzero(np.asarray(b["present"]))[0][0])
+                batch[row, :n] = sym
+                ns[row] = n
+                shifts[row] = int(b["shift"])
             data = _batched_decode2(nmax, b_pad)(
                 jnp.asarray(batch), jnp.asarray(shifts), jnp.asarray(ns))
             data_np = np.asarray(data)

@@ -191,53 +191,63 @@ def encode_bitpack(data: jax.Array, n: jax.Array, len_tbl: jax.Array,
     return (seg_hi + seg_lo).astype(jnp.uint32), total_bits
 
 
-def _fsm_step(words, chunk_end, count_tbl, first_tbl, offset_tbl, sym_tbl, state):
-    """One bit of the branch-free canonical FSM, vectorised over lanes.
+def _unpack_bit_tiles(words: jax.Array, chunk_bits: int) -> jax.Array:
+    """(W,) uint32 -> (nc, chunk_bits + GAPS) uint32 bit tiles.
 
-    state: pos, val, ln, done, cnt, exitg — all (L,) arrays.
-    Returns (new_state, emitted symbol per lane or -1).
+    Each chunk's tile carries its own bits plus the first GAPS bits of the
+    next chunk (codewords may straddle the cut).  Pure elementwise unpack +
+    reshape — no gathers.
     """
-    pos, val, ln, done, cnt, exitg = state
     nwords = words.shape[0]
-    active = jnp.logical_not(done)
+    nc = nwords * 32 // chunk_bits
+    shifts = (31 - jnp.arange(32, dtype=jnp.uint32))
+    bits = ((words[:, None] >> shifts[None, :]) & jnp.uint32(1))
+    tile = bits.reshape(nc, chunk_bits)
+    nxt = jnp.concatenate([tile[1:, :GAPS], jnp.zeros((1, GAPS), tile.dtype)], axis=0)
+    return jnp.concatenate([tile, nxt], axis=1)
 
-    widx = jnp.clip(pos >> 5, 0, nwords - 1)
-    bit = (words[widx] >> (31 - (pos & 31)).astype(jnp.uint32)) & jnp.uint32(1)
+
+def _packed_tables(tables: dict[str, jax.Array]):
+    """Fuse count/offset into one 32-entry table: fewer in-loop lookups."""
+    count_off = (tables["count"].astype(jnp.int32) << 9) | tables["offset"].astype(jnp.int32)
+    return count_off, tables["first"].astype(jnp.uint32)
+
+
+def _fsm_step(bit, start_gap, t, chunk_bits, count_off_tbl, first_tbl, state):
+    """One bit of the branch-free canonical FSM.
+
+    All lanes of a chunk consume the same tile bit at absolute tile time t;
+    a lane with entry gap g is frozen until t >= g and after it finishes.
+    No large gathers: the only lookups are two 32-entry tables.
+
+    state: val (uint32), ln (int32), done (bool), cnt (int32), exitg (int32)
+    — lane-shaped.  bit broadcasts against the lane shape.  Returns
+    (new_state, emitted canonical table index per lane or -1).
+    """
+    val, ln, done, cnt, exitg = state
+    active = jnp.logical_not(done) & (t >= start_gap)
+
     val_n = (val << 1) | bit
     ln_n = ln + 1
 
-    cnt_l = count_tbl[jnp.clip(ln_n, 0, MAX_LEN)]
-    first_l = first_tbl[jnp.clip(ln_n, 0, MAX_LEN)]
+    lidx = jnp.clip(ln_n, 0, MAX_LEN)
+    co = count_off_tbl[lidx]
+    cnt_l = co >> 9
+    off_l = co & 511
+    first_l = first_tbl[lidx]
     rel = (val_n - first_l).astype(jnp.int32)
     complete = (ln_n <= MAX_LEN) & (cnt_l > 0) & (rel >= 0) & (rel < cnt_l)
-    overflow = (ln_n >= MAX_LEN + 1)
+    overflow = ln_n >= MAX_LEN + 1
 
-    sym = jnp.where(active & complete,
-                    sym_tbl[jnp.clip(offset_tbl[jnp.clip(ln_n, 0, MAX_LEN)] + rel, 0, ALPHABET - 1)],
-                    -1)
+    emit_idx = jnp.where(active & complete, jnp.clip(off_l + rel, 0, ALPHABET - 1), -1)
 
-    next_start = pos + 1
-    finish = complete & (next_start >= chunk_end)
-
-    pos2 = jnp.where(active, pos + 1, pos)
-    val2 = jnp.where(active & (complete | overflow), jnp.uint32(0), val_n)
-    val2 = jnp.where(active, val2, val)
-    ln2 = jnp.where(active & (complete | overflow), 0, ln_n)
-    ln2 = jnp.where(active, ln2, ln)
+    finish = complete & (t + 1 >= chunk_bits)
+    val2 = jnp.where(active, jnp.where(complete | overflow, jnp.uint32(0), val_n), val)
+    ln2 = jnp.where(active, jnp.where(complete | overflow, 0, ln_n), ln)
     cnt2 = jnp.where(active & complete, cnt + 1, cnt)
-    exit2 = jnp.where(active & finish, next_start - chunk_end, exitg)
+    exit2 = jnp.where(active & finish, t + 1 - chunk_bits, exitg)
     done2 = done | (active & finish)
-    return (pos2, val2, ln2, done2, cnt2, exit2), sym
-
-
-def _init_state(start_pos, chunk_end):
-    z = jnp.zeros_like(start_pos)
-    return (start_pos,
-            jnp.zeros_like(start_pos, dtype=jnp.uint32),
-            z,
-            start_pos >= chunk_end,  # a lane whose start is past its chunk is done
-            z,
-            jnp.clip(start_pos - chunk_end, 0, GAPS - 1))
+    return (val2, ln2, done2, cnt2, exit2), emit_idx
 
 
 def gap_decode(words: jax.Array, tables: dict[str, jax.Array], n: jax.Array,
@@ -246,9 +256,8 @@ def gap_decode(words: jax.Array, tables: dict[str, jax.Array], n: jax.Array,
 
     words: (W,) uint32, W*32 a multiple of chunk_bits (zero-padded);
     tables: device copies of `decode_tables` output;
-    n: true symbol count.  Returns (Nout,) uint8 with Nout = words.size*32
-    capped by the caller's slice (we return chunk-count * chunk_bits symbols
-    max; caller slices [:Nmax] and masks by n).
+    n: true symbol count.  Returns (nc*chunk_bits,) uint8; caller slices
+    [:Nmax] and masks by n.
     """
     nwords = words.shape[0]
     total_bits_cap = nwords * 32
@@ -256,27 +265,20 @@ def gap_decode(words: jax.Array, tables: dict[str, jax.Array], n: jax.Array,
     assert nc * chunk_bits == total_bits_cap, "pad words to a multiple of chunk_bits"
     steps = chunk_bits + GAPS
 
-    count_tbl = tables["count"]
-    first_tbl = tables["first"]
-    offset_tbl = tables["offset"]
+    tiles = _unpack_bit_tiles(words, chunk_bits)  # (nc, steps)
+    count_off_tbl, first_tbl = _packed_tables(tables)
     sym_tbl = tables["sym"]
-
-    chunk_start = (jnp.arange(nc, dtype=jnp.int32) * chunk_bits)
-    chunk_end = chunk_start + chunk_bits
+    gaps = jnp.arange(GAPS, dtype=jnp.int32)[None, :]  # (1, G)
 
     # ---- phase A: all (chunk, gap) lanes; exit gaps + symbol counts only ----
-    start_a = (chunk_start[:, None] + jnp.arange(GAPS, dtype=jnp.int32)[None, :]).reshape(-1)
-    end_a = jnp.repeat(chunk_end, GAPS)
-    state = _init_state(start_a, end_a)
+    def body_a(t, st):
+        bit = jax.lax.dynamic_slice_in_dim(tiles, t, 1, axis=1)  # (nc, 1)
+        st2, _ = _fsm_step(bit, gaps, t, chunk_bits, count_off_tbl, first_tbl, st)
+        return st2
 
-    def body_a(_, st):
-        st, _sym = _fsm_step(words, end_a, count_tbl, first_tbl, offset_tbl, sym_tbl, st)
-        return st
-
-    state = jax.lax.fori_loop(0, steps, body_a, state)
-    _, _, _, _, cnt_a, exit_a = state
-    exit_map = exit_a.reshape(nc, GAPS)
-    cnt_map = cnt_a.reshape(nc, GAPS)
+    z_a = jnp.zeros((nc, GAPS), dtype=jnp.int32)
+    st_a = (jnp.zeros((nc, GAPS), dtype=jnp.uint32), z_a, z_a.astype(bool), z_a, z_a)
+    _, _, _, cnt_map, exit_map = jax.lax.fori_loop(0, steps, body_a, st_a)
 
     # ---- chain: true entry gap per chunk via prefix function composition ----
     if nc > 1:
@@ -292,23 +294,22 @@ def gap_decode(words: jax.Array, tables: dict[str, jax.Array], n: jax.Array,
     counts_sel = jnp.take_along_axis(cnt_map, entry[:, None], axis=-1)[:, 0]
     out_off = jnp.cumsum(counts_sel) - counts_sel  # exclusive
 
-    # ---- phase B: winning lane per chunk, with symbol emission ----
-    start_b = chunk_start + entry
-    state_b = _init_state(start_b, chunk_end)
+    # ---- phase B: winning lane per chunk, with emission ----
+    def body_b(st, t):
+        bit = jax.lax.dynamic_slice_in_dim(tiles, t, 1, axis=1)[:, 0]  # (nc,)
+        return _fsm_step(bit, entry, t, chunk_bits, count_off_tbl, first_tbl, st)
 
-    def body_b(st, _):
-        st, sym = _fsm_step(words, chunk_end, count_tbl, first_tbl, offset_tbl, sym_tbl, st)
-        return st, sym
-
-    _, syms = jax.lax.scan(body_b, state_b, None, length=steps)  # (steps, nc)
-    syms = syms.T  # (nc, steps)
-    valid = syms >= 0
+    z_b = jnp.zeros((nc,), dtype=jnp.int32)
+    st_b = (jnp.zeros((nc,), dtype=jnp.uint32), z_b, z_b.astype(bool), z_b, z_b)
+    _, idxs = jax.lax.scan(body_b, st_b, jnp.arange(steps, dtype=jnp.int32))
+    idxs = idxs.T  # (nc, steps) canonical table indices or -1
+    valid = idxs >= 0
     local_idx = jnp.cumsum(valid.astype(jnp.int32), axis=-1) - 1
     global_idx = out_off[:, None] + local_idx
 
+    syms = sym_tbl[jnp.clip(idxs, 0, ALPHABET - 1)].astype(jnp.uint8)  # one bulk gather
     nout = nc * chunk_bits
     target = jnp.where(valid & (global_idx < n), global_idx, nout)
     out = jnp.zeros(nout + 1, dtype=jnp.uint8)
-    out = out.at[target.reshape(-1)].set(
-        jnp.clip(syms, 0, ALPHABET - 1).astype(jnp.uint8).reshape(-1), mode="drop")
+    out = out.at[target.reshape(-1)].set(syms.reshape(-1), mode="drop")
     return out[:nout]
