@@ -98,13 +98,17 @@ def bwt_inverse(last: jax.Array, shift: jax.Array, n: jax.Array) -> jax.Array:
     orbit = jnp.zeros(nmax, dtype=jnp.int32)
     orbit = orbit.at[0].set(p_m[jnp.clip(shift, 0, nmax - 1)])
 
-    m = 1
-    while m < nmax:
+    rounds = max(1, math.ceil(math.log2(max(nmax, 2))))
+
+    def round_body(_, carry):
+        orbit, p_m, m = carry
         src = jnp.take(orbit, jnp.clip(pos - m, 0, nmax - 1))
         upd = p_m[src]
         orbit = jnp.where((pos >= m) & (pos < 2 * m), upd, orbit)
-        p_m = p_m[p_m]
-        m *= 2
+        return orbit, p_m[p_m], m * 2
+
+    orbit, _, _ = jax.lax.fori_loop(0, rounds, round_body,
+                                    (orbit, p_m, jnp.int32(1)))
 
     out = jnp.where(real, last[orbit], 0).astype(jnp.uint8)
     return out
