@@ -77,6 +77,36 @@ def cmd_bench(args) -> int:
     return 1 if failures else 0
 
 
+def cmd_verify(args) -> int:
+    """Bit-exact file compare (the reference's compare_files as a CLI verb)."""
+    from .utils import nativeio
+
+    equal = nativeio.compare_files(args.a, args.b)
+    if equal is None:  # native lib unavailable: python fallback
+        with open(args.a, "rb") as f1, open(args.b, "rb") as f2:
+            equal = f1.read() == f2.read()
+    print("success" if equal else "fail")
+    return 0 if equal else 1
+
+
+def cmd_info(args) -> int:
+    import numpy as np
+
+    from .utils import container
+
+    with open(args.input, "rb") as f:
+        buf = f.read()
+    block_size, total_size, raw_blocks = container.unpack_file(buf)
+    print(f"block_size: {block_size} $$ n_blocks: {len(raw_blocks)} "
+          f"$$ total_size: {total_size} $$ file_bytes: {len(buf)}")
+    for i, raw in enumerate(raw_blocks):
+        orig_len, shift, lens, present, payload = container.unpack_block(raw)
+        print(f"block {i}: orig_len {orig_len} $$ shift {shift} "
+              f"$$ symbols {int(np.count_nonzero(present))} "
+              f"$$ max_code_len {int(lens.max())} $$ payload {len(payload)} B")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="bmh_tpu", description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -104,6 +134,15 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--block-size", type=int, default=DEFAULT_BLOCK_SIZE)
     common(b)
     b.set_defaults(fn=cmd_bench)
+
+    v = sub.add_parser("verify", help="bit-exact comparison of two files")
+    v.add_argument("a")
+    v.add_argument("b")
+    v.set_defaults(fn=cmd_verify)
+
+    inf = sub.add_parser("info", help="dump .bzt container metadata")
+    inf.add_argument("input")
+    inf.set_defaults(fn=cmd_info)
     return p
 
 

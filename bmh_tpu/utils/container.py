@@ -122,14 +122,20 @@ def pack_file(blocks: list[bytes], block_size: int, total_size: int) -> bytes:
 
 def unpack_file(buf: bytes) -> tuple[int, int, list[bytes]]:
     """Returns (block_size, total_size, list of raw block buffers)."""
+    if len(buf) < FILE_HEADER.size:
+        raise ValueError(f"truncated .bzt file: {len(buf)} bytes < header")
     magic, version, _flags, _res, block_size, n_blocks, total_size = FILE_HEADER.unpack_from(buf, 0)
     if magic != MAGIC:
         raise ValueError(f"bad magic {magic!r}; not a .bzt file")
     if version != VERSION:
         raise ValueError(f"unsupported .bzt version {version}")
     off = FILE_HEADER.size
+    if len(buf) < off + 4 * n_blocks:
+        raise ValueError("truncated .bzt file: block table incomplete")
     sizes = struct.unpack_from(f"<{n_blocks}I", buf, off)
     off += 4 * n_blocks
+    if len(buf) < off + sum(sizes):
+        raise ValueError("truncated .bzt file: block data incomplete")
     blocks = []
     for sz in sizes:
         blocks.append(buf[off:off + sz])
