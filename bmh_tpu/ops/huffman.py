@@ -145,10 +145,16 @@ def decode_tables(lens: np.ndarray) -> dict[str, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 def histogram(data: jax.Array, n: jax.Array) -> jax.Array:
-    """Masked 256-bin histogram (reference: main.cpp:235-237)."""
+    """Masked 256-bin histogram (reference: main.cpp:235-237).
+
+    Compare-and-reduce instead of scatter-add: a (256, N) streaming compare
+    fuses into a single VPU reduction, ~40x faster than TPU scatter.
+    """
     pos = jnp.arange(data.shape[0], dtype=jnp.int32)
-    w = (pos < n).astype(jnp.int32)
-    return jnp.zeros(ALPHABET, dtype=jnp.int32).at[data.astype(jnp.int32)].add(w)
+    valid = pos < n
+    sym = data.astype(jnp.int32)
+    bins = jnp.arange(ALPHABET, dtype=jnp.int32)[:, None]
+    return jnp.sum((sym[None, :] == bins) & valid[None, :], axis=1, dtype=jnp.int32)
 
 
 def encode_bitpack(data: jax.Array, n: jax.Array, len_tbl: jax.Array,
@@ -192,11 +198,13 @@ def encode_bitpack(data: jax.Array, n: jax.Array, len_tbl: jax.Array,
 
 
 def _unpack_bit_tiles(words: jax.Array, chunk_bits: int) -> jax.Array:
-    """(W,) uint32 -> (nc, chunk_bits + GAPS) uint32 bit tiles.
+    """(W,) uint32 -> (chunk_bits + GAPS, nc) uint32 bit tiles, time-major.
 
     Each chunk's tile carries its own bits plus the first GAPS bits of the
-    next chunk (codewords may straddle the cut).  Pure elementwise unpack +
-    reshape — no gathers.
+    next chunk (codewords may straddle the cut).  Time-major layout so the
+    per-step FSM slice is a contiguous row (a minor-dim dynamic slice would
+    be a strided access on TPU's tiled layout).  Pure elementwise unpack +
+    reshape/transpose — no gathers.
     """
     nwords = words.shape[0]
     nc = nwords * 32 // chunk_bits
@@ -204,7 +212,7 @@ def _unpack_bit_tiles(words: jax.Array, chunk_bits: int) -> jax.Array:
     bits = ((words[:, None] >> shifts[None, :]) & jnp.uint32(1))
     tile = bits.reshape(nc, chunk_bits)
     nxt = jnp.concatenate([tile[1:, :GAPS], jnp.zeros((1, GAPS), tile.dtype)], axis=0)
-    return jnp.concatenate([tile, nxt], axis=1)
+    return jnp.concatenate([tile, nxt], axis=1).T  # (steps, nc)
 
 
 def _packed_tables(tables: dict[str, jax.Array]):
@@ -271,14 +279,17 @@ def gap_decode(words: jax.Array, tables: dict[str, jax.Array], n: jax.Array,
     gaps = jnp.arange(GAPS, dtype=jnp.int32)[None, :]  # (1, G)
 
     # ---- phase A: all (chunk, gap) lanes; exit gaps + symbol counts only ----
-    def body_a(t, st):
-        bit = jax.lax.dynamic_slice_in_dim(tiles, t, 1, axis=1)  # (nc, 1)
-        st2, _ = _fsm_step(bit, gaps, t, chunk_bits, count_off_tbl, first_tbl, st)
-        return st2
+    t_axis = jnp.arange(steps, dtype=jnp.int32)
+
+    def body_a(st, xs):
+        t, bits_row = xs  # bits_row: (nc,)
+        st2, _ = _fsm_step(bits_row[:, None], gaps, t, chunk_bits,
+                           count_off_tbl, first_tbl, st)
+        return st2, None
 
     z_a = jnp.zeros((nc, GAPS), dtype=jnp.int32)
     st_a = (jnp.zeros((nc, GAPS), dtype=jnp.uint32), z_a, z_a.astype(bool), z_a, z_a)
-    _, _, _, cnt_map, exit_map = jax.lax.fori_loop(0, steps, body_a, st_a)
+    (_, _, _, cnt_map, exit_map), _ = jax.lax.scan(body_a, st_a, (t_axis, tiles))
 
     # ---- chain: true entry gap per chunk via prefix function composition ----
     if nc > 1:
@@ -295,13 +306,13 @@ def gap_decode(words: jax.Array, tables: dict[str, jax.Array], n: jax.Array,
     out_off = jnp.cumsum(counts_sel) - counts_sel  # exclusive
 
     # ---- phase B: winning lane per chunk, with emission ----
-    def body_b(st, t):
-        bit = jax.lax.dynamic_slice_in_dim(tiles, t, 1, axis=1)[:, 0]  # (nc,)
-        return _fsm_step(bit, entry, t, chunk_bits, count_off_tbl, first_tbl, st)
+    def body_b(st, xs):
+        t, bits_row = xs
+        return _fsm_step(bits_row, entry, t, chunk_bits, count_off_tbl, first_tbl, st)
 
     z_b = jnp.zeros((nc,), dtype=jnp.int32)
     st_b = (jnp.zeros((nc,), dtype=jnp.uint32), z_b, z_b.astype(bool), z_b, z_b)
-    _, idxs = jax.lax.scan(body_b, st_b, jnp.arange(steps, dtype=jnp.int32))
+    _, idxs = jax.lax.scan(body_b, st_b, (t_axis, tiles))
     idxs = idxs.T  # (nc, steps) canonical table indices or -1
     valid = idxs >= 0
     local_idx = jnp.cumsum(valid.astype(jnp.int32), axis=-1) - 1
