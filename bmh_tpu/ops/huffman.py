@@ -238,11 +238,15 @@ def _fsm_step(bit, start_gap, t, chunk_bits, count_off_tbl, first_tbl, state):
     val_n = (val << 1) | bit
     ln_n = ln + 1
 
-    lidx = jnp.clip(ln_n, 0, MAX_LEN)
-    co = count_off_tbl[lidx]
+    # gather-free table lookup: 32-wide one-hot select (gathers cost ~ms on
+    # TPU even for tiny tables; 32 compares fuse into pure VPU work)
+    lidx = jnp.clip(ln_n, 0, MAX_LEN)[..., None]
+    lrange = jnp.arange(MAX_LEN + 1, dtype=jnp.int32)
+    onehot = lidx == lrange
+    co = jnp.sum(jnp.where(onehot, count_off_tbl, 0), axis=-1)
     cnt_l = co >> 9
     off_l = co & 511
-    first_l = first_tbl[lidx]
+    first_l = jnp.sum(jnp.where(onehot, first_tbl, jnp.uint32(0)), axis=-1)
     rel = (val_n - first_l).astype(jnp.int32)
     complete = (ln_n <= MAX_LEN) & (cnt_l > 0) & (rel >= 0) & (rel < cnt_l)
     overflow = ln_n >= MAX_LEN + 1
