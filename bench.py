@@ -21,7 +21,18 @@ REFERENCE_ROUNDTRIP_MBPS = 2 * 3141622 / 11.06 / 1e6  # 0.568
 REFERENCE_TOTAL_OUT = 1006498  # summed reference .bzap sizes (README table)
 
 
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knob: just skip caching
+
+
 def run(block_size: int = 131072, backend: str = "jax", files=None) -> dict:
+    _enable_compile_cache()
     from bmh_tpu import api
     from bmh_tpu.utils import corpus
 
