@@ -22,9 +22,32 @@ import jax.numpy as jnp
 
 INT32_BIG = jnp.int32(2**31 - 1)
 
+# The Pallas bitonic network needs all planes + partner temporaries in VMEM;
+# past 2^18 elements it would spill, so larger blocks use XLA's sort.
+_PALLAS_SORT_MAX = 1 << 18
+
+
+def _use_pallas_sort(n: int) -> bool:
+    import jax as _jax
+
+    try:
+        on_tpu = _jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    return on_tpu and n <= _PALLAS_SORT_MAX and (n & (n - 1)) == 0 and n >= 256
+
 
 def _stable_sort3(key1, key2, payload):
-    """Stable lexicographic sort by (key1, key2); returns permuted payload + keys."""
+    """Stable lexicographic sort by (key1, key2); returns permuted payload + keys.
+
+    On TPU with VMEM-sized blocks this runs the Pallas bitonic network
+    (pallas_sort.sort3); payload must then be a permutation, which holds for
+    every call site (payload is always an iota).
+    """
+    if _use_pallas_sort(key1.shape[-1]):
+        from . import pallas_sort
+
+        return pallas_sort.sort3(key1, key2, payload, interpret=False)
     k1, k2, p = jax.lax.sort((key1, key2, payload), num_keys=2, is_stable=True)
     return k1, k2, p
 
@@ -98,7 +121,7 @@ def bwt_inverse(last: jax.Array, shift: jax.Array, n: jax.Array) -> jax.Array:
     pos = jnp.arange(nmax, dtype=jnp.int32)
     real = pos < n
     key = jnp.where(real, last.astype(jnp.int32), INT32_BIG)
-    _, l_shift = jax.lax.sort((key, pos), num_keys=1, is_stable=True)
+    _, _, l_shift = _stable_sort3(key, pos, pos)
     # l_shift[r] = original index of r-th smallest; maps real ranks -> real idx
 
     p_m = jnp.clip(l_shift, 0, nmax - 1)

@@ -1,0 +1,139 @@
+"""Pallas TPU bitonic sort for the BWT's (rank, rank2, index) triples.
+
+XLA's variadic comparison sort costs ~20-40ms per (6, 128K) invocation on
+v5e and dominates prefix-doubling BWT.  A bitonic network over VMEM-resident
+(sublane, lane) tiles is pure vector work: log^2(N)/2 substeps, each a dense
+compare-exchange over the whole array — no HBM traffic between substeps, no
+comparator callbacks.
+
+The network sorts the *triple* (k1, k2, idx) lexicographically.  idx is a
+permutation (all distinct), so the order equals a stable sort by (k1, k2) —
+exactly the `std::stable_sort` semantics the reference's rotation sort
+relies on for periodic inputs (/root/reference/main.cpp:82).
+
+Layout: element e lives at row r = e >> 7, lane l = e & 127 of an (S, 128)
+int32 tile.  Partner exchange at distance d:
+  d >= 128: row-block flip via reshape (S/2dr, 2, dr, 128)
+  d <  128: lane rotate by ±d with a lane-parity select
+Direction bit k of e is a row mask for k >= 7, a lane mask below.
+
+Falls back to interpret mode off-TPU so the CPU unit suite validates the
+network bit-for-bit against jax.lax.sort.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _lex_gt(a1, a2, a3, b1, b2, b3):
+    """(a1,a2,a3) > (b1,b2,b3) lexicographically, elementwise."""
+    return (a1 > b1) | ((a1 == b1) & ((a2 > b2) | ((a2 == b2) & (a3 > b3))))
+
+
+def _partner(x, d, s):
+    """Partner values at XOR distance d for an (s, LANES) tile.
+
+    XOR-flip via two circular rolls + parity select: elements whose bit d is
+    clear read forward (+d), the rest read backward (-d); the circular wrap
+    only ever lands on lanes/rows taking the other branch.
+    """
+    if d >= LANES:
+        dr = d // LANES
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (s, LANES), 0)
+        fwd = pltpu.roll(x, s - dr, 0)   # row r reads row r+dr (mod s)
+        bwd = pltpu.roll(x, dr, 0)       # row r reads row r-dr
+        return jnp.where((rowi & dr) == 0, fwd, bwd)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (s, LANES), 1)
+    fwd = pltpu.roll(x, LANES - d, 1)    # lane l reads lane l+d (mod LANES)
+    bwd = pltpu.roll(x, d, 1)            # lane l reads lane l-d
+    return jnp.where((lane & d) == 0, fwd, bwd)
+
+
+def _sort_kernel(k1_ref, k2_ref, id_ref, o1_ref, o2_ref, o3_ref, *, n: int):
+    s = n // LANES
+    p = int(math.log2(n))
+    row = jax.lax.broadcasted_iota(jnp.int32, (s, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (s, LANES), 1)
+
+    a1 = k1_ref[...]
+    a2 = k2_ref[...]
+    a3 = id_ref[...]
+
+    for k in range(1, p + 1):
+        # ascending iff bit k of e is 0; bit p is always 0 (full ascent)
+        if k >= p:
+            asc = jnp.bool_(True)
+        elif k >= 7:
+            asc = (row & (1 << (k - 7))) == 0
+        else:
+            asc = (lane & (1 << k)) == 0
+        for j in range(k - 1, -1, -1):
+            d = 1 << j
+            b1 = _partner(a1, d, s)
+            b2 = _partner(a2, d, s)
+            b3 = _partner(a3, d, s)
+            i_low = ((row * LANES + lane) & d) == 0 if d >= LANES else (lane & d) == 0
+            gt = _lex_gt(a1, a2, a3, b1, b2, b3)
+            lt = _lex_gt(b1, b2, b3, a1, a2, a3)
+            want_min = jnp.logical_not(jnp.logical_xor(asc, i_low))
+            # boolean select (Mosaic cannot lower an i1-valued select_n)
+            take = (want_min & gt) | (jnp.logical_not(want_min) & lt)
+            a1 = jnp.where(take, b1, a1)
+            a2 = jnp.where(take, b2, a2)
+            a3 = jnp.where(take, b3, a3)
+
+    o1_ref[...] = a1
+    o2_ref[...] = a2
+    o3_ref[...] = a3
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _sort3_call(k1, k2, idx, *, interpret: bool):
+    n = k1.shape[-1]
+    s = n // LANES
+    assert s * LANES == n and (n & (n - 1)) == 0, "N must be a power of two >= 128"
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
+    out = pl.pallas_call(
+        functools.partial(_sort_kernel, n=n),
+        in_specs=[spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        out_shape=tuple(jax.ShapeDtypeStruct((s, LANES), jnp.int32) for _ in range(3)),
+        input_output_aliases={0: 0, 1: 1, 2: 2},
+        interpret=interpret,
+        **kwargs,
+    )(k1.reshape(s, LANES), k2.reshape(s, LANES), idx.reshape(s, LANES))
+    return tuple(o.reshape(n) for o in out)
+
+
+def sort3(k1: jax.Array, k2: jax.Array, idx: jax.Array,
+          interpret: bool | None = None):
+    """Lexicographic sort of int32 triples (vmap-friendly).
+
+    k1/k2/idx: (N,) int32, N a power of two >= 128, idx a permutation.
+    Returns the three arrays reordered ascending by (k1, k2, idx) — i.e. a
+    stable sort by (k1, k2).  Under jax.vmap the kernel batches into a grid.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    return _sort3_call(k1.astype(jnp.int32), k2.astype(jnp.int32),
+                       idx.astype(jnp.int32), interpret=interpret)
