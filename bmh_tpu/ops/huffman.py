@@ -215,51 +215,49 @@ def _unpack_bit_tiles(words: jax.Array, chunk_bits: int) -> jax.Array:
     return jnp.concatenate([tile, nxt], axis=1).T  # (steps, nc)
 
 
-def _packed_tables(tables: dict[str, jax.Array]):
-    """Fuse count/offset into one 32-entry table: fewer in-loop lookups."""
-    count_off = (tables["count"].astype(jnp.int32) << 9) | tables["offset"].astype(jnp.int32)
-    return count_off, tables["first"].astype(jnp.uint32)
-
-
-def _fsm_step(bit, start_gap, t, chunk_bits, count_off_tbl, first_tbl, state):
+def _fsm_step(bit, start_gap, t, chunk_bits, count_tbl, state):
     """One bit of the branch-free canonical FSM.
 
     All lanes of a chunk consume the same tile bit at absolute tile time t;
     a lane with entry gap g is frozen until t >= g and after it finishes.
-    No large gathers: the only lookups are two 32-entry tables.
 
-    state: val (uint32), ln (int32), done (bool), cnt (int32), exitg (int32)
-    — lane-shaped.  bit broadcasts against the lane shape.  Returns
+    The canonical tables are carried *incrementally*: with f = first[ln+1]
+    and o = offset[ln+1] as state, the canonical-code identities
+    first[l+1] = (first[l]+count[l])<<1 and offset[l+1] = offset[l]+count[l]
+    advance them in two adds — only count[l] needs a (32-wide, gather-free)
+    one-hot select.  Resets are free because first[1] = offset[1] = 0.
+
+    state: val (uint32), ln, f (uint32), o, done (bool), cnt, exitg —
+    lane-shaped.  bit broadcasts against the lane shape.  Returns
     (new_state, emitted canonical table index per lane or -1).
     """
-    val, ln, done, cnt, exitg = state
+    val, ln, f, o, done, cnt, exitg = state
     active = jnp.logical_not(done) & (t >= start_gap)
 
     val_n = (val << 1) | bit
     ln_n = ln + 1
 
-    # gather-free table lookup: 32-wide one-hot select (gathers cost ~ms on
-    # TPU even for tiny tables; 32 compares fuse into pure VPU work)
-    lidx = jnp.clip(ln_n, 0, MAX_LEN)[..., None]
     lrange = jnp.arange(MAX_LEN + 1, dtype=jnp.int32)
-    onehot = lidx == lrange
-    co = jnp.sum(jnp.where(onehot, count_off_tbl, 0), axis=-1)
-    cnt_l = co >> 9
-    off_l = co & 511
-    first_l = jnp.sum(jnp.where(onehot, first_tbl, jnp.uint32(0)), axis=-1)
-    rel = (val_n - first_l).astype(jnp.int32)
-    complete = (ln_n <= MAX_LEN) & (cnt_l > 0) & (rel >= 0) & (rel < cnt_l)
-    overflow = ln_n >= MAX_LEN + 1
+    onehot = ln_n[..., None] == lrange
+    cnt_l = jnp.sum(jnp.where(onehot, count_tbl, 0), axis=-1)
 
-    emit_idx = jnp.where(active & complete, jnp.clip(off_l + rel, 0, ALPHABET - 1), -1)
+    rel = (val_n - f).astype(jnp.int32)
+    complete = (cnt_l > 0) & (rel >= 0) & (rel < cnt_l)
+    overflow = ln_n >= MAX_LEN + 1
+    reset = complete | overflow
+
+    emit_idx = jnp.where(active & complete, jnp.clip(o + rel, 0, ALPHABET - 1), -1)
 
     finish = complete & (t + 1 >= chunk_bits)
-    val2 = jnp.where(active, jnp.where(complete | overflow, jnp.uint32(0), val_n), val)
-    ln2 = jnp.where(active, jnp.where(complete | overflow, 0, ln_n), ln)
+    val2 = jnp.where(active, jnp.where(reset, jnp.uint32(0), val_n), val)
+    ln2 = jnp.where(active, jnp.where(reset, 0, ln_n), ln)
+    f2 = jnp.where(active, jnp.where(reset, jnp.uint32(0),
+                                     (f + cnt_l.astype(jnp.uint32)) << 1), f)
+    o2 = jnp.where(active, jnp.where(reset, 0, o + cnt_l), o)
     cnt2 = jnp.where(active & complete, cnt + 1, cnt)
     exit2 = jnp.where(active & finish, t + 1 - chunk_bits, exitg)
     done2 = done | (active & finish)
-    return (val2, ln2, done2, cnt2, exit2), emit_idx
+    return (val2, ln2, f2, o2, done2, cnt2, exit2), emit_idx
 
 
 def gap_decode(words: jax.Array, tables: dict[str, jax.Array], n: jax.Array,
@@ -277,8 +275,8 @@ def gap_decode(words: jax.Array, tables: dict[str, jax.Array], n: jax.Array,
     assert nc * chunk_bits == total_bits_cap, "pad words to a multiple of chunk_bits"
     steps = chunk_bits + GAPS
 
-    tiles = _unpack_bit_tiles(words, chunk_bits)  # (nc, steps)
-    count_off_tbl, first_tbl = _packed_tables(tables)
+    tiles = _unpack_bit_tiles(words, chunk_bits)  # (steps, nc)
+    count_tbl = tables["count"].astype(jnp.int32)
     sym_tbl = tables["sym"]
     gaps = jnp.arange(GAPS, dtype=jnp.int32)[None, :]  # (1, G)
 
@@ -287,13 +285,17 @@ def gap_decode(words: jax.Array, tables: dict[str, jax.Array], n: jax.Array,
 
     def body_a(st, xs):
         t, bits_row = xs  # bits_row: (nc,)
-        st2, _ = _fsm_step(bits_row[:, None], gaps, t, chunk_bits,
-                           count_off_tbl, first_tbl, st)
+        st2, _ = _fsm_step(bits_row[:, None], gaps, t, chunk_bits, count_tbl, st)
         return st2, None
 
-    z_a = jnp.zeros((nc, GAPS), dtype=jnp.int32)
-    st_a = (jnp.zeros((nc, GAPS), dtype=jnp.uint32), z_a, z_a.astype(bool), z_a, z_a)
-    (_, _, _, cnt_map, exit_map), _ = jax.lax.scan(body_a, st_a, (t_axis, tiles))
+    def zeros_a(dt):
+        return jnp.zeros((nc, GAPS), dtype=dt)
+
+    st_a = (zeros_a(jnp.uint32), zeros_a(jnp.int32), zeros_a(jnp.uint32),
+            zeros_a(jnp.int32), zeros_a(jnp.bool_), zeros_a(jnp.int32),
+            zeros_a(jnp.int32))
+    (_, _, _, _, _, cnt_map, exit_map), _ = jax.lax.scan(
+        body_a, st_a, (t_axis, tiles), unroll=4)
 
     # ---- chain: true entry gap per chunk via prefix function composition ----
     if nc > 1:
@@ -312,11 +314,12 @@ def gap_decode(words: jax.Array, tables: dict[str, jax.Array], n: jax.Array,
     # ---- phase B: winning lane per chunk, with emission ----
     def body_b(st, xs):
         t, bits_row = xs
-        return _fsm_step(bits_row, entry, t, chunk_bits, count_off_tbl, first_tbl, st)
+        return _fsm_step(bits_row, entry, t, chunk_bits, count_tbl, st)
 
     z_b = jnp.zeros((nc,), dtype=jnp.int32)
-    st_b = (jnp.zeros((nc,), dtype=jnp.uint32), z_b, z_b.astype(bool), z_b, z_b)
-    _, idxs = jax.lax.scan(body_b, st_b, (t_axis, tiles))
+    st_b = (jnp.zeros((nc,), dtype=jnp.uint32), z_b, jnp.zeros((nc,), dtype=jnp.uint32),
+            z_b, z_b.astype(bool), z_b, z_b)
+    _, idxs = jax.lax.scan(body_b, st_b, (t_axis, tiles), unroll=4)
     idxs = idxs.T  # (nc, steps) canonical table indices or -1
     valid = idxs >= 0
     local_idx = jnp.cumsum(valid.astype(jnp.int32), axis=-1) - 1
