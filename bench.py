@@ -76,6 +76,59 @@ def run(block_size: int = 131072, backend: str = "jax", files=None) -> dict:
     }
 
 
+def run_synthetic(total_mb: int = 64, block_size: int = 131072,
+                  backend: str = "jax") -> dict:
+    """BASELINE config-5 harness: enwik-style synthetic stream throughput.
+
+    Generates a Markov-ish byte stream (text-like entropy), compresses and
+    decompresses it through the block pipeline, and reports round-trip MB/s.
+    Sized by --mb so the same harness scales from smoke test to the 1 GiB
+    target as kernel throughput grows.
+    """
+    import numpy as np
+
+    from bmh_tpu import api
+
+    _enable_compile_cache()
+    rng = np.random.default_rng(42)
+    n = total_mb << 20
+    # text-like stream: ~30 hot symbols with skewed frequencies + runs
+    probs = np.exp(-0.25 * np.arange(64))
+    probs /= probs.sum()
+    sym = rng.choice(64, n, p=probs).astype(np.uint8) + 32
+    runs = rng.random(n) < 0.05
+    sym[runs] = 32
+    data = sym.tobytes()
+
+    blob = api.compress_bytes(data, block_size=block_size, backend=backend)  # warm
+    back = api.decompress_bytes(blob, backend=backend)
+    ok = back == data
+    t0 = time.perf_counter()
+    blob = api.compress_bytes(data, block_size=block_size, backend=backend)
+    t1 = time.perf_counter()
+    back = api.decompress_bytes(blob, backend=backend)
+    t2 = time.perf_counter()
+    ok = ok and back == data
+    mbps = 2 * n / (t2 - t0) / 1e6
+    return {
+        "metric": "synthetic_roundtrip_throughput",
+        "value": round(mbps, 3),
+        "unit": "MB/s",
+        "vs_baseline": round(mbps / REFERENCE_ROUNDTRIP_MBPS, 2),
+        "bit_exact": ok,
+        "compress_s": round(t1 - t0, 3),
+        "decompress_s": round(t2 - t1, 3),
+        "stream_mb": total_mb,
+        "ratio": round(len(blob) / n, 4),
+        "block_size": block_size,
+    }
+
+
 if __name__ == "__main__":
-    block_size = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
-    print(json.dumps(run(block_size=block_size)))
+    args = sys.argv[1:]
+    if args and args[0] == "--synthetic":
+        mb = int(args[1]) if len(args) > 1 else 64
+        print(json.dumps(run_synthetic(total_mb=mb)))
+    else:
+        block_size = int(args[0]) if args else 131072
+        print(json.dumps(run(block_size=block_size)))
