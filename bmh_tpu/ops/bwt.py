@@ -67,10 +67,12 @@ def bwt_forward(data: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]:
     nmax = data.shape[0]
     pos = jnp.arange(nmax, dtype=jnp.int32)
     real = pos < n
-    # initial ranks: byte value; pads get huge distinct ranks so they sort last
-    rank = jnp.where(real, data.astype(jnp.int32), 256 + pos)
-
-    max_rounds = max(1, math.ceil(math.log2(max(nmax, 2))))
+    # initial ranks: the first TWO bytes of each rotation packed into 16 bits
+    # (one fewer doubling round than single-byte init); pads get huge
+    # distinct ranks so they sort last
+    nxt1 = jnp.where(pos + 1 >= n, pos + 1 - n, pos + 1)
+    pair = data.astype(jnp.int32) * 256 + data[jnp.clip(nxt1, 0, nmax - 1)].astype(jnp.int32)
+    rank = jnp.where(real, pair, 65536 + pos)
 
     def round_body(state):
         rank, h, _ = state
@@ -99,8 +101,9 @@ def bwt_forward(data: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]:
         return jnp.logical_and(h < nmax, jnp.logical_not(done))
 
     # initial done: n <= 1 means ranks are trivially distinct already (also
-    # keeps the carry's mesh-varying type stable under shard_map)
-    rank, _, _ = jax.lax.while_loop(cond, round_body, (rank, jnp.int32(1), n <= 1))
+    # keeps the carry's mesh-varying type stable under shard_map); h starts
+    # at 2 because the initial ranks already order 2-byte prefixes
+    rank, _, _ = jax.lax.while_loop(cond, round_body, (rank, jnp.int32(2), n <= 1))
 
     # final order: by rank, ties by index (stable) — equal full rotations
     _, _, order = _stable_sort3(rank, pos, pos)
