@@ -152,6 +152,25 @@ def compress_file(in_path: str, out_path: str, block_size: int = DEFAULT_BLOCK_S
     return {"initial_data_size": len(data), "encoded_file_size": len(blob)}
 
 
+def full_pipeline(in_path: str, enc_path: str, dec_path: str,
+                  block_size: int = DEFAULT_BLOCK_SIZE, backend: str = "jax") -> bool:
+    """Compress then decompress through the real files on disk and verify.
+
+    The reference's `full_pipeline` (main.cpp:347-380) round-trips through
+    the container on disk so the file format is exercised, not just the
+    in-memory transforms; same contract here.  Returns bit-exact verdict.
+    """
+    compress_file(in_path, enc_path, block_size=block_size, backend=backend)
+    decompress_file(enc_path, dec_path, backend=backend)
+    from .utils import nativeio
+
+    equal = nativeio.compare_files(in_path, dec_path)
+    if equal is None:
+        with open(in_path, "rb") as f1, open(dec_path, "rb") as f2:
+            equal = f1.read() == f2.read()
+    return bool(equal)
+
+
 def decompress_file(in_path: str, out_path: str, backend: str = "jax") -> dict:
     with open(in_path, "rb") as f:
         blob = f.read()
