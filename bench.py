@@ -45,15 +45,15 @@ def run(block_size: int = 131072, backend: str = "jax", files=None) -> dict:
     total_in = sum(len(x) for x in datas)
 
     # warm pass: compile everything (and sanity-check round trip)
-    blobs = api.compress_many(datas, block_size=block_size, backend=backend)
-    backs = api.decompress_many(blobs, backend=backend)
+    blobs = api.compress_many(datas, block_size=block_size, backend=backend, uniform=True)
+    backs = api.decompress_many(blobs, backend=backend, uniform=True)
     ok = all(a == b for a, b in zip(datas, backs))
 
     # timed pass (steady state)
     t0 = time.perf_counter()
-    blobs = api.compress_many(datas, block_size=block_size, backend=backend)
+    blobs = api.compress_many(datas, block_size=block_size, backend=backend, uniform=True)
     t1 = time.perf_counter()
-    backs = api.decompress_many(blobs, backend=backend)
+    backs = api.decompress_many(blobs, backend=backend, uniform=True)
     t2 = time.perf_counter()
     ok = ok and all(a == b for a, b in zip(datas, backs))
 

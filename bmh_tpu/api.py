@@ -94,12 +94,14 @@ def decompress_bytes(buf: bytes, backend: str = "jax") -> bytes:
 
 
 def compress_many(datas: list[bytes | np.ndarray], block_size: int = DEFAULT_BLOCK_SIZE,
-                  backend: str = "jax") -> list[bytes]:
+                  backend: str = "jax", uniform: bool = False) -> list[bytes]:
     """Compress several independent streams in one batched backend dispatch.
 
     All blocks of all streams are flattened into a single compress_blocks
     call so the device sees one large batch (better MXU/VPU occupancy than
-    stream-at-a-time), then containers are reassembled per stream.
+    stream-at-a-time), then containers are reassembled per stream.  With
+    uniform=True every block pads to the block_size bucket: one compiled
+    shape and one dispatch for the whole batch (throughput mode).
     """
     arrs = [np.frombuffer(d, dtype=np.uint8) if isinstance(d, (bytes, bytearray))
             else np.asarray(d, dtype=np.uint8) for d in datas]
@@ -109,7 +111,13 @@ def compress_many(datas: list[bytes | np.ndarray], block_size: int = DEFAULT_BLO
         blocks = container.split_blocks(arr, block_size)
         spans.append((len(flat_blocks), len(blocks)))
         flat_blocks.extend(blocks)
-    results = get_backend(backend).compress_blocks(flat_blocks)
+    be = get_backend(backend)
+    if uniform and hasattr(be, "name") and be.name == "jax":
+        from .models.pipeline import _bucket
+
+        results = be.compress_blocks(flat_blocks, bucket=_bucket(block_size))
+    else:
+        results = be.compress_blocks(flat_blocks)
     out = []
     for arr, (start, cnt) in zip(arrs, spans):
         packed = []
@@ -121,18 +129,33 @@ def compress_many(datas: list[bytes | np.ndarray], block_size: int = DEFAULT_BLO
     return out
 
 
-def decompress_many(bufs: list[bytes], backend: str = "jax") -> list[bytes]:
+def decompress_many(bufs: list[bytes], backend: str = "jax",
+                    uniform: bool = False) -> list[bytes]:
     """Decompress several .bzt containers in one batched backend dispatch."""
     infos: list[dict] = []
     spans: list[tuple[int, int, int]] = []
+    max_block = 0
+    max_payload = 0
     for buf in bufs:
-        _bs, total, raw_blocks = container.unpack_file(buf)
+        bs, total, raw_blocks = container.unpack_file(buf)
+        max_block = max(max_block, bs)
         spans.append((len(infos), len(raw_blocks), total))
         for raw in raw_blocks:
             orig_len, shift, lens, present, payload = container.unpack_block(raw)
+            max_payload = max(max_payload, len(payload))
             infos.append({"orig_len": orig_len, "shift": shift, "lens": lens,
                           "present": present, "payload": payload})
-    parts = get_backend(backend).decompress_blocks(infos) if infos else []
+    be = get_backend(backend)
+    if not infos:
+        parts = []
+    elif uniform and be.name == "jax":
+        from .models import pipeline as _pl
+
+        wbytes = _pl.DECODE_CHUNK_BITS // 8
+        cb = _pl._next_pow2(max(1, -(-max_payload // wbytes)))
+        parts = be.decompress_blocks(infos, bucket=max_block, chunk_bucket=cb)
+    else:
+        parts = be.decompress_blocks(infos)
     out = []
     for start, cnt, total in spans:
         data = b"".join(p.tobytes() for p in parts[start:start + cnt])

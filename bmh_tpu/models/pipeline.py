@@ -100,12 +100,15 @@ class JaxBackend:
 
     name = "jax"
 
-    def compress_blocks(self, blocks: list[np.ndarray]) -> list[dict]:
+    def compress_blocks(self, blocks: list[np.ndarray],
+                        bucket: int | None = None) -> list[dict]:
+        """bucket: force one padded size for every block (fewer compiled
+        shapes, one dispatch for a whole multi-stream batch)."""
         results: list[dict | None] = [None] * len(blocks)
         groups: dict[int, list[int]] = defaultdict(list)
         arrs = [np.asarray(b, dtype=np.uint8) for b in blocks]
         for i, blk in enumerate(arrs):
-            groups[_bucket(blk.size)].append(i)
+            groups[max(bucket, _bucket(blk.size)) if bucket else _bucket(blk.size)].append(i)
 
         for nmax, idxs in groups.items():
             b_real = len(idxs)
@@ -146,8 +149,15 @@ class JaxBackend:
                 }
         return results  # type: ignore[return-value]
 
-    def decompress_blocks(self, blocks: list[dict]) -> list[np.ndarray]:
+    def decompress_blocks(self, blocks: list[dict],
+                          bucket: int | None = None,
+                          chunk_bucket: int | None = None) -> list[np.ndarray]:
+        """bucket / chunk_bucket: force uniform padded block / payload-chunk
+        sizes so a heterogeneous batch becomes one dispatch."""
         results: list[np.ndarray | None] = [None] * len(blocks)
+
+        def blk_bucket(n: int) -> int:
+            return max(bucket, _bucket(n)) if bucket else _bucket(n)
 
         # multi-symbol blocks: fused gap decode + iMTF + iBWT, grouped by
         # (padded chunk count, block bucket); single-symbol blocks skip the
@@ -160,12 +170,14 @@ class JaxBackend:
             if n == 0:
                 results[i] = np.zeros(0, dtype=np.uint8)
             elif int(present.sum()) == 1:
-                sgroups[_bucket(n)].append(i)
+                sgroups[blk_bucket(n)].append(i)
             else:
                 wbytes = DECODE_CHUNK_BITS // 8
                 nchunks = max(1, -(-len(b["payload"]) // wbytes))
                 nchunks = _next_pow2(nchunks) if nchunks > 1 else 1
-                dgroups[(nchunks, _bucket(n))].append(i)
+                if chunk_bucket:
+                    nchunks = max(nchunks, chunk_bucket)
+                dgroups[(nchunks, blk_bucket(n))].append(i)
 
         for (nchunks, nmax), idxs in dgroups.items():
             wbytes = DECODE_CHUNK_BITS // 8
