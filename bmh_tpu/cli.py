@@ -27,8 +27,16 @@ from .utils.metrics import metrics_line
 
 def cmd_compress(args) -> int:
     t0 = time.perf_counter()
-    info = api.compress_file(args.input, args.output, block_size=args.block_size,
-                             backend=args.backend)
+    if args.resumable:
+        from .utils.stream import compress_file_resumable
+        import os
+
+        info = compress_file_resumable(args.input, args.output,
+                                       block_size=args.block_size, backend=args.backend)
+        info["initial_data_size"] = os.path.getsize(args.input)
+    else:
+        info = api.compress_file(args.input, args.output, block_size=args.block_size,
+                                 backend=args.backend)
     dt = time.perf_counter() - t0
     print(metrics_line(args.output, info["initial_data_size"], info["encoded_file_size"],
                        seconds=dt))
@@ -119,6 +127,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("input")
     c.add_argument("output")
     c.add_argument("--block-size", type=int, default=DEFAULT_BLOCK_SIZE)
+    c.add_argument("--resumable", action="store_true",
+                   help="streaming layout with per-block checkpoints; "
+                        "re-running resumes a crashed compression")
     common(c)
     c.set_defaults(fn=cmd_compress)
 

@@ -42,6 +42,7 @@ import numpy as np
 
 MAGIC = b"BZT1"
 VERSION = 1
+FLAG_STREAMING = 0x01  # blocks are u32-length-prefixed; no up-front table
 FILE_HEADER = struct.Struct("<4sBBHIIQ")
 BLOCK_HEADER = struct.Struct("<II")
 ALPHABET = 256
@@ -124,12 +125,25 @@ def unpack_file(buf: bytes) -> tuple[int, int, list[bytes]]:
     """Returns (block_size, total_size, list of raw block buffers)."""
     if len(buf) < FILE_HEADER.size:
         raise ValueError(f"truncated .bzt file: {len(buf)} bytes < header")
-    magic, version, _flags, _res, block_size, n_blocks, total_size = FILE_HEADER.unpack_from(buf, 0)
+    magic, version, flags, _res, block_size, n_blocks, total_size = FILE_HEADER.unpack_from(buf, 0)
     if magic != MAGIC:
         raise ValueError(f"bad magic {magic!r}; not a .bzt file")
     if version != VERSION:
         raise ValueError(f"unsupported .bzt version {version}")
     off = FILE_HEADER.size
+    if flags & FLAG_STREAMING:
+        # self-delimiting length-prefixed blocks (resumable writer layout)
+        blocks = []
+        for _ in range(n_blocks):
+            if len(buf) < off + 4:
+                raise ValueError("truncated .bzt file: streaming block prefix")
+            (sz,) = struct.unpack_from("<I", buf, off)
+            off += 4
+            if len(buf) < off + sz:
+                raise ValueError("truncated .bzt file: streaming block data")
+            blocks.append(buf[off:off + sz])
+            off += sz
+        return block_size, total_size, blocks
     if len(buf) < off + 4 * n_blocks:
         raise ValueError("truncated .bzt file: block table incomplete")
     sizes = struct.unpack_from(f"<{n_blocks}I", buf, off)
