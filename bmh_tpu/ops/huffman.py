@@ -38,6 +38,16 @@ GAPS = 32             # possible codeword-boundary offsets at a chunk cut
 DEFAULT_CHUNK_BITS = 2048
 
 
+def _use_pallas_decode(nc: int) -> bool:
+    import jax as _jax
+
+    try:
+        on_tpu = _jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    return on_tpu and (nc & (nc - 1)) == 0
+
+
 # ---------------------------------------------------------------------------
 # Host-side table construction (256-entry work; not a device op)
 # ---------------------------------------------------------------------------
@@ -280,22 +290,32 @@ def gap_decode(words: jax.Array, tables: dict[str, jax.Array], n: jax.Array,
     sym_tbl = tables["sym"]
     gaps = jnp.arange(GAPS, dtype=jnp.int32)[None, :]  # (1, G)
 
+    use_pallas = _use_pallas_decode(nc)
+    if use_pallas:
+        from . import pallas_decode
+
+        count_rows = jnp.broadcast_to(count_tbl[None, :], (nc, MAX_LEN + 1))
+        count_rows = count_rows + jnp.zeros_like(count_rows)  # materialise
+        cnt_map, exit_map = pallas_decode.phase_a(
+            tiles, count_rows, chunk_bits=chunk_bits, interpret=False)
+
     # ---- phase A: all (chunk, gap) lanes; exit gaps + symbol counts only ----
     t_axis = jnp.arange(steps, dtype=jnp.int32)
 
-    def body_a(st, xs):
-        t, bits_row = xs  # bits_row: (nc,)
-        st2, _ = _fsm_step(bits_row[:, None], gaps, t, chunk_bits, count_tbl, st)
-        return st2, None
+    if not use_pallas:
+        def body_a(st, xs):
+            t, bits_row = xs  # bits_row: (nc,)
+            st2, _ = _fsm_step(bits_row[:, None], gaps, t, chunk_bits, count_tbl, st)
+            return st2, None
 
-    def zeros_a(dt):
-        return jnp.zeros((nc, GAPS), dtype=dt)
+        def zeros_a(dt):
+            return jnp.zeros((nc, GAPS), dtype=dt)
 
-    st_a = (zeros_a(jnp.uint32), zeros_a(jnp.int32), zeros_a(jnp.uint32),
-            zeros_a(jnp.int32), zeros_a(jnp.bool_), zeros_a(jnp.int32),
-            zeros_a(jnp.int32))
-    (_, _, _, _, _, cnt_map, exit_map), _ = jax.lax.scan(
-        body_a, st_a, (t_axis, tiles), unroll=4)
+        st_a = (zeros_a(jnp.uint32), zeros_a(jnp.int32), zeros_a(jnp.uint32),
+                zeros_a(jnp.int32), zeros_a(jnp.bool_), zeros_a(jnp.int32),
+                zeros_a(jnp.int32))
+        (_, _, _, _, _, cnt_map, exit_map), _ = jax.lax.scan(
+            body_a, st_a, (t_axis, tiles), unroll=4)
 
     # ---- chain: true entry gap per chunk via prefix function composition ----
     if nc > 1:
@@ -312,14 +332,20 @@ def gap_decode(words: jax.Array, tables: dict[str, jax.Array], n: jax.Array,
     out_off = jnp.cumsum(counts_sel) - counts_sel  # exclusive
 
     # ---- phase B: winning lane per chunk, with emission ----
-    def body_b(st, xs):
-        t, bits_row = xs
-        return _fsm_step(bits_row, entry, t, chunk_bits, count_tbl, st)
+    if use_pallas:
+        from . import pallas_decode
 
-    z_b = jnp.zeros((nc,), dtype=jnp.int32)
-    st_b = (jnp.zeros((nc,), dtype=jnp.uint32), z_b, jnp.zeros((nc,), dtype=jnp.uint32),
-            z_b, z_b.astype(bool), z_b, z_b)
-    _, idxs = jax.lax.scan(body_b, st_b, (t_axis, tiles), unroll=4)
+        idxs = pallas_decode.phase_b(tiles, count_rows, entry[None, :],
+                                     chunk_bits=chunk_bits, interpret=False)
+    else:
+        def body_b(st, xs):
+            t, bits_row = xs
+            return _fsm_step(bits_row, entry, t, chunk_bits, count_tbl, st)
+
+        z_b = jnp.zeros((nc,), dtype=jnp.int32)
+        st_b = (jnp.zeros((nc,), dtype=jnp.uint32), z_b,
+                jnp.zeros((nc,), dtype=jnp.uint32), z_b, z_b.astype(bool), z_b, z_b)
+        _, idxs = jax.lax.scan(body_b, st_b, (t_axis, tiles), unroll=4)
     idxs = idxs.T  # (nc, steps) canonical table indices or -1
     valid = idxs >= 0
     local_idx = jnp.cumsum(valid.astype(jnp.int32), axis=-1) - 1
