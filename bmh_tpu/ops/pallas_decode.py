@@ -89,7 +89,7 @@ def _phase_a_kernel(tiles_ref, count_ref, cnt_out, exit_out, *, chunk_bits: int)
         st2, _ = _fsm_body(bit, gaps, t, chunk_bits, count_rows, st)
         return st2
 
-    st = jax.lax.fori_loop(0, steps, body, st, unroll=4)
+    st = jax.lax.fori_loop(0, steps, body, st)
     cnt_out[...] = st[5]
     exit_out[...] = st[6]
 
@@ -112,7 +112,7 @@ def _phase_b_kernel(tiles_ref, count_ref, entry_ref, idx_out, *, chunk_bits: int
         idx_out[t, :] = emit[:, 0].astype(jnp.int32)
         return st2
 
-    jax.lax.fori_loop(0, steps, body, st0, unroll=4)
+    jax.lax.fori_loop(0, steps, body, st0)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk_bits", "interpret"))
