@@ -46,61 +46,73 @@ def _lex_gt(a1, a2, a3, b1, b2, b3):
     return (a1 > b1) | ((a1 == b1) & ((a2 > b2) | ((a2 == b2) & (a3 > b3))))
 
 
-def _partner(x, d, s):
-    """Partner values at XOR distance d for an (s, LANES) tile.
+def _sort_kernel(ks_ref, js_ref, k1_ref, k2_ref, id_ref,
+                 o1_ref, o2_ref, o3_ref, *, n: int):
+    """Flat compare-exchange loop over the bitonic schedule.
 
-    XOR-flip via two circular rolls + parity select: elements whose bit d is
-    clear read forward (+d), the rest read backward (-d); the circular wrap
-    only ever lands on lanes/rows taking the other branch.
+    The network's p(p+1)/2 substeps run as ONE fori_loop body (compiled
+    once) instead of a fully unrolled instruction stream: the (k, j) stage
+    schedule sits in SMEM and every roll distance is a traced scalar
+    (pltpu.roll takes dynamic shifts).  This cuts Mosaic compile time from
+    minutes to seconds at n = 2^17 while keeping the same dense VPU work.
     """
-    if d >= LANES:
-        dr = d // LANES
-        rowi = jax.lax.broadcasted_iota(jnp.int32, (s, LANES), 0)
-        fwd = pltpu.roll(x, s - dr, 0)   # row r reads row r+dr (mod s)
-        bwd = pltpu.roll(x, dr, 0)       # row r reads row r-dr
-        return jnp.where((rowi & dr) == 0, fwd, bwd)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (s, LANES), 1)
-    fwd = pltpu.roll(x, LANES - d, 1)    # lane l reads lane l+d (mod LANES)
-    bwd = pltpu.roll(x, d, 1)            # lane l reads lane l-d
-    return jnp.where((lane & d) == 0, fwd, bwd)
-
-
-def _sort_kernel(k1_ref, k2_ref, id_ref, o1_ref, o2_ref, o3_ref, *, n: int):
     s = n // LANES
     p = int(math.log2(n))
+    steps = p * (p + 1) // 2
     row = jax.lax.broadcasted_iota(jnp.int32, (s, LANES), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (s, LANES), 1)
+    e = row * LANES + lane
 
-    a1 = k1_ref[...]
-    a2 = k2_ref[...]
-    a3 = id_ref[...]
+    def body(t, carry):
+        a1, a2, a3 = carry
+        k = ks_ref[t]
+        j = js_ref[t]
+        d = jnp.int32(1) << j
+        # ascending iff bit k of e is 0 (bit p is 0 for all e < 2^p)
+        asc = ((e >> k) & 1) == 0
+        i_low = ((e >> j) & 1) == 0
 
-    for k in range(1, p + 1):
-        # ascending iff bit k of e is 0; bit p is always 0 (full ascent)
-        if k >= p:
-            asc = jnp.bool_(True)
-        elif k >= 7:
-            asc = (row & (1 << (k - 7))) == 0
-        else:
-            asc = (lane & (1 << k)) == 0
-        for j in range(k - 1, -1, -1):
-            d = 1 << j
-            b1 = _partner(a1, d, s)
-            b2 = _partner(a2, d, s)
-            b3 = _partner(a3, d, s)
-            i_low = ((row * LANES + lane) & d) == 0 if d >= LANES else (lane & d) == 0
-            gt = _lex_gt(a1, a2, a3, b1, b2, b3)
-            lt = _lex_gt(b1, b2, b3, a1, a2, a3)
-            want_min = jnp.logical_not(jnp.logical_xor(asc, i_low))
-            # boolean select (Mosaic cannot lower an i1-valued select_n)
-            take = (want_min & gt) | (jnp.logical_not(want_min) & lt)
-            a1 = jnp.where(take, b1, a1)
-            a2 = jnp.where(take, b2, a2)
-            a3 = jnp.where(take, b3, a3)
+        def row_partner(x):
+            dr = d >> 7
+            fwd = pltpu.roll(x, s - dr, 0)   # row r reads row r+dr (mod s)
+            bwd = pltpu.roll(x, dr, 0)       # row r reads row r-dr
+            return jnp.where(i_low, fwd, bwd)
 
+        def lane_partner(x):
+            fwd = pltpu.roll(x, LANES - d, 1)
+            bwd = pltpu.roll(x, d, 1)
+            return jnp.where(i_low, fwd, bwd)
+
+        b1, b2, b3 = jax.lax.cond(
+            d >= LANES,
+            lambda: (row_partner(a1), row_partner(a2), row_partner(a3)),
+            lambda: (lane_partner(a1), lane_partner(a2), lane_partner(a3)),
+        )
+        gt = _lex_gt(a1, a2, a3, b1, b2, b3)
+        lt = _lex_gt(b1, b2, b3, a1, a2, a3)
+        want_min = jnp.logical_not(jnp.logical_xor(asc, i_low))
+        # boolean select (Mosaic cannot lower an i1-valued select_n)
+        take = (want_min & gt) | (jnp.logical_not(want_min) & lt)
+        a1 = jnp.where(take, b1, a1)
+        a2 = jnp.where(take, b2, a2)
+        a3 = jnp.where(take, b3, a3)
+        return a1, a2, a3
+
+    a1, a2, a3 = jax.lax.fori_loop(
+        0, steps, body, (k1_ref[...], k2_ref[...], id_ref[...]))
     o1_ref[...] = a1
     o2_ref[...] = a2
     o3_ref[...] = a3
+
+
+def _schedule(p: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(ks, js) int32 schedule arrays for the flat bitonic loop."""
+    ks, js = [], []
+    for k in range(1, p + 1):
+        for j in range(k - 1, -1, -1):
+            ks.append(k)
+            js.append(j)
+    return jnp.asarray(ks, jnp.int32), jnp.asarray(js, jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -108,20 +120,23 @@ def _sort3_call(k1, k2, idx, *, interpret: bool):
     n = k1.shape[-1]
     s = n // LANES
     assert s * LANES == n and (n & (n - 1)) == 0, "N must be a power of two >= 128"
+    p = int(math.log2(n))
+    ks, js = _schedule(p)
     spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024)
     out = pl.pallas_call(
         functools.partial(_sort_kernel, n=n),
-        in_specs=[spec, spec, spec],
+        in_specs=[sspec, sspec, spec, spec, spec],
         out_specs=(spec, spec, spec),
         out_shape=tuple(jax.ShapeDtypeStruct((s, LANES), jnp.int32) for _ in range(3)),
-        input_output_aliases={0: 0, 1: 1, 2: 2},
+        input_output_aliases={2: 0, 3: 1, 4: 2},
         interpret=interpret,
         **kwargs,
-    )(k1.reshape(s, LANES), k2.reshape(s, LANES), idx.reshape(s, LANES))
+    )(ks, js, k1.reshape(s, LANES), k2.reshape(s, LANES), idx.reshape(s, LANES))
     return tuple(o.reshape(n) for o in out)
 
 
