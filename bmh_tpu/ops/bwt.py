@@ -34,7 +34,9 @@ def _use_pallas_sort(n: int) -> bool:
         on_tpu = _jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
-    return on_tpu and n <= _PALLAS_SORT_MAX and (n & (n - 1)) == 0 and n >= 256
+    # min 1024 = 8 sublanes x 128 lanes: smaller tiles give Mosaic an
+    # unaligned vector<Sx128xi32> dynamic_rotate (verified failing at S=2)
+    return on_tpu and n <= _PALLAS_SORT_MAX and (n & (n - 1)) == 0 and n >= 1024
 
 
 def _stable_sort3(key1, key2, payload):

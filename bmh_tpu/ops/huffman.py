@@ -39,8 +39,14 @@ DEFAULT_CHUNK_BITS = 2048
 
 
 def _use_pallas_decode(nc: int) -> bool:
+    import os
+
     import jax as _jax
 
+    # Default OFF until the kernel is proven to lower on the live Mosaic
+    # version (round-1 shipped a kernel that failed scf.for legalization).
+    if os.environ.get("BMH_PALLAS_DECODE", "0") == "0":
+        return False
     try:
         on_tpu = _jax.devices()[0].platform == "tpu"
     except Exception:

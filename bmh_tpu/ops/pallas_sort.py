@@ -12,10 +12,14 @@ exactly the `std::stable_sort` semantics the reference's rotation sort
 relies on for periodic inputs (/root/reference/main.cpp:82).
 
 Layout: element e lives at row r = e >> 7, lane l = e & 127 of an (S, 128)
-int32 tile.  Partner exchange at distance d:
-  d >= 128: row-block flip via reshape (S/2dr, 2, dr, 128)
-  d <  128: lane rotate by ±d with a lane-parity select
-Direction bit k of e is a row mask for k >= 7, a lane mask below.
+int32 tile.  The flat fori_loop walks the (k, j) bitonic stage schedule held
+in SMEM; partner exchange at distance d = 1 << j is a dynamic pltpu.roll of
+the whole tile (axis 0 by d/128 rows when d >= 128, axis 1 by d lanes when
+d < 128) with an element-parity select between the forward and backward
+rolls.  Direction bit k of e is a row mask for k >= 7, a lane mask below.
+
+Minimum N is 1024 (= 8 sublanes x 128 lanes): smaller tiles make the row
+roll a sub-(8,128) vector, which tpu.dynamic_rotate cannot legalize.
 
 Falls back to interpret mode off-TPU so the CPU unit suite validates the
 network bit-for-bit against jax.lax.sort.
@@ -32,6 +36,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
+LOG2_LANES = LANES.bit_length() - 1
+MIN_N = 8 * LANES  # 8 sublanes: Mosaic alignment floor for i32 row rotates
 
 
 def _on_tpu() -> bool:
@@ -73,7 +79,7 @@ def _sort_kernel(ks_ref, js_ref, k1_ref, k2_ref, id_ref,
         i_low = ((e >> j) & 1) == 0
 
         def row_partner(x):
-            dr = d >> 7
+            dr = d >> LOG2_LANES
             fwd = pltpu.roll(x, s - dr, 0)   # row r reads row r+dr (mod s)
             bwd = pltpu.roll(x, dr, 0)       # row r reads row r-dr
             return jnp.where(i_low, fwd, bwd)
@@ -119,7 +125,7 @@ def _schedule(p: int) -> tuple[jnp.ndarray, jnp.ndarray]:
 def _sort3_call(k1, k2, idx, *, interpret: bool):
     n = k1.shape[-1]
     s = n // LANES
-    assert s * LANES == n and (n & (n - 1)) == 0, "N must be a power of two >= 128"
+    assert n >= MIN_N and (n & (n - 1)) == 0, "N must be a power of two >= 1024"
     p = int(math.log2(n))
     ks, js = _schedule(p)
     spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -144,7 +150,7 @@ def sort3(k1: jax.Array, k2: jax.Array, idx: jax.Array,
           interpret: bool | None = None):
     """Lexicographic sort of int32 triples (vmap-friendly).
 
-    k1/k2/idx: (N,) int32, N a power of two >= 128, idx a permutation.
+    k1/k2/idx: (N,) int32, N a power of two >= MIN_N (1024), idx a permutation.
     Returns the three arrays reordered ascending by (k1, k2, idx) — i.e. a
     stable sort by (k1, k2).  Under jax.vmap the kernel batches into a grid.
     """

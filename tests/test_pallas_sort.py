@@ -8,7 +8,7 @@ import pytest
 from bmh_tpu.ops import pallas_sort
 
 
-@pytest.mark.parametrize("n", [256, 1024, 4096])
+@pytest.mark.parametrize("n", [1024, 2048, 4096])
 def test_sort3_matches_lax_sort(rng, n):
     for trial in range(3):
         k1 = rng.integers(0, max(4, n // 8), n).astype(np.int32)  # many ties
@@ -24,7 +24,7 @@ def test_sort3_matches_lax_sort(rng, n):
 
 
 def test_sort3_vmapped(rng):
-    n, b = 512, 4
+    n, b = 1024, 4
     k1 = rng.integers(0, 50, (b, n)).astype(np.int32)
     k2 = rng.integers(0, 50, (b, n)).astype(np.int32)
     idx = np.broadcast_to(np.arange(n, dtype=np.int32), (b, n)).copy()
