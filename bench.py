@@ -49,12 +49,15 @@ def run(block_size: int = 131072, backend: str = "jax", files=None) -> dict:
     backs = api.decompress_many(blobs, backend=backend, uniform=True)
     ok = all(a == b for a, b in zip(datas, backs))
 
-    # timed pass (steady state)
-    t0 = time.perf_counter()
-    blobs = api.compress_many(datas, block_size=block_size, backend=backend, uniform=True)
-    t1 = time.perf_counter()
-    backs = api.decompress_many(blobs, backend=backend, uniform=True)
-    t2 = time.perf_counter()
+    # timed pass (steady state); BMH_TRACE_DIR=/path captures an xprof trace
+    from bmh_tpu.utils.tracing import device_trace
+
+    with device_trace():
+        t0 = time.perf_counter()
+        blobs = api.compress_many(datas, block_size=block_size, backend=backend, uniform=True)
+        t1 = time.perf_counter()
+        backs = api.decompress_many(blobs, backend=backend, uniform=True)
+        t2 = time.perf_counter()
     ok = ok and all(a == b for a, b in zip(datas, backs))
 
     total_out = sum(len(b) for b in blobs)

@@ -11,7 +11,9 @@ from __future__ import annotations
 import numpy as np
 
 from .utils import container
-from .utils.container import DEFAULT_BLOCK_SIZE
+from .utils.config import DEFAULT as CONFIG
+
+DEFAULT_BLOCK_SIZE = CONFIG.block_size
 
 
 class OracleBackend:
@@ -30,15 +32,17 @@ class OracleBackend:
         out = []
         for b in blocks:
             present = b["present"]
-            if int(present.sum()) == 1:
+            if b["orig_len"] == 0:
+                out.append(np.zeros(0, dtype=np.uint8))
+            elif int(present.sum()) == 1:
                 sym = int(np.nonzero(present)[0][0])
-                codes = np.full(b["orig_len"], sym, dtype=np.uint8)
-                last = oracle.mtf_inverse(codes)
-                out.append(oracle.bwt_inverse(last, b["shift"]))
+                out.append(oracle.decompress_block(
+                    b["payload"], b["lens"], b["shift"], b["orig_len"],
+                    b["rle_len"], single_symbol=sym))
             else:
-                out.append(
-                    oracle.decompress_block(b["payload"], b["lens"], b["shift"], b["orig_len"])
-                )
+                out.append(oracle.decompress_block(
+                    b["payload"], b["lens"], b["shift"], b["orig_len"],
+                    b["rle_len"]))
         return out
 
 
@@ -67,7 +71,9 @@ def compress_bytes(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK_SIZ
     for blk, r in zip(blocks, results):
         present = r["freqs"] > 0
         packed.append(
-            container.pack_block(r["orig_len"], r["shift"], r["lens"], present, r["payload"])
+            container.pack_block(r["orig_len"], r["shift"], r["lens"], present,
+                                 r["payload"], cps=r.get("cps", ()),
+                                 rle_len=r["rle_len"])
         )
     return container.pack_file(packed, block_size, arr.size)
 
@@ -76,12 +82,14 @@ def decompress_bytes(buf: bytes, backend: str = "jax") -> bytes:
     block_size, total_size, raw_blocks = container.unpack_file(buf)
     infos = []
     for raw in raw_blocks:
-        orig_len, shift, lens, present, payload = container.unpack_block(raw)
+        orig_len, shift, lens, present, cps, rle_len, payload = container.unpack_block(raw)
         infos.append({
             "orig_len": orig_len,
             "shift": shift,
             "lens": lens,
             "present": present,
+            "cps": cps,
+            "rle_len": rle_len,
             "payload": payload,
         })
     if not infos:
@@ -124,7 +132,9 @@ def compress_many(datas: list[bytes | np.ndarray], block_size: int = DEFAULT_BLO
         for r in results[start:start + cnt]:
             present = r["freqs"] > 0
             packed.append(container.pack_block(r["orig_len"], r["shift"], r["lens"],
-                                               present, r["payload"]))
+                                               present, r["payload"],
+                                               cps=r.get("cps", ()),
+                                               rle_len=r["rle_len"]))
         out.append(container.pack_file(packed, block_size, arr.size))
     return out
 
@@ -141,10 +151,11 @@ def decompress_many(bufs: list[bytes], backend: str = "jax",
         max_block = max(max_block, bs)
         spans.append((len(infos), len(raw_blocks), total))
         for raw in raw_blocks:
-            orig_len, shift, lens, present, payload = container.unpack_block(raw)
+            orig_len, shift, lens, present, cps, rle_len, payload = container.unpack_block(raw)
             max_payload = max(max_payload, len(payload))
             infos.append({"orig_len": orig_len, "shift": shift, "lens": lens,
-                          "present": present, "payload": payload})
+                          "present": present, "cps": cps, "rle_len": rle_len,
+                          "payload": payload})
     be = get_backend(backend)
     if not infos:
         parts = []
@@ -172,7 +183,8 @@ def compress_file(in_path: str, out_path: str, block_size: int = DEFAULT_BLOCK_S
     blob = compress_bytes(data, block_size=block_size, backend=backend)
     with open(out_path, "wb") as f:
         f.write(blob)
-    return {"initial_data_size": len(data), "encoded_file_size": len(blob)}
+    return {"initial_data_size": len(data), "encoded_file_size": len(blob),
+            "header_size": container.header_bytes(blob)}
 
 
 def full_pipeline(in_path: str, enc_path: str, dec_path: str,

@@ -39,7 +39,7 @@ def cmd_compress(args) -> int:
                                  backend=args.backend)
     dt = time.perf_counter() - t0
     print(metrics_line(args.output, info["initial_data_size"], info["encoded_file_size"],
-                       seconds=dt))
+                       header_size=info.get("header_size"), seconds=dt))
     return 0
 
 
@@ -76,7 +76,12 @@ def cmd_bench(args) -> int:
         failures += 0 if ok else 1
         total_in += len(data)
         total_out += len(blob)
-        print(f"{i}/{len(files)} " + metrics_line(name, len(data), len(blob), seconds=t1 - t0)
+        from .utils import container as container_mod
+
+        hdr = container_mod.header_bytes(blob)
+        print(f"{i}/{len(files)} "
+              + metrics_line(name, len(data), len(blob), header_size=hdr,
+                             seconds=t1 - t0)
               + f" $$ decode_s: {t2 - t1:.3f} $$ " + ("success" if ok else "fail"))
     wall = time.perf_counter() - t_start
     rate = total_out / total_in if total_in else 0.0
@@ -108,10 +113,12 @@ def cmd_info(args) -> int:
     print(f"block_size: {block_size} $$ n_blocks: {len(raw_blocks)} "
           f"$$ total_size: {total_size} $$ file_bytes: {len(buf)}")
     for i, raw in enumerate(raw_blocks):
-        orig_len, shift, lens, present, payload = container.unpack_block(raw)
+        orig_len, shift, lens, present, cps, rle_len, payload = container.unpack_block(raw)
+        ncp = "periodic" if cps is None else len(cps)
         print(f"block {i}: orig_len {orig_len} $$ shift {shift} "
               f"$$ symbols {int(np.count_nonzero(present))} "
-              f"$$ max_code_len {int(lens.max())} $$ payload {len(payload)} B")
+              f"$$ max_code_len {int(lens.max())} $$ rle_len {rle_len} $$ checkpoints {ncp} "
+              f"$$ payload {len(payload)} B")
     return 0
 
 

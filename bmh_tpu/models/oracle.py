@@ -57,10 +57,24 @@ def bwt(data: np.ndarray) -> tuple[int, np.ndarray]:
     Matches the reference rotation sort (main.cpp:77-91) including the
     stable index tie-break for periodic inputs.
     """
+    shift, last, _ = bwt_with_checkpoints(data)
+    return shift, last
+
+
+def bwt_with_checkpoints(data: np.ndarray) -> tuple[int, np.ndarray,
+                                                    np.ndarray | None]:
+    """BWT that also samples iBWT cursor checkpoints (ops/bwt.py semantics).
+
+    Returns (shift, last, cps) with cps = rank[(j*CURSOR_STRIDE) % n] for
+    j = 1..ceil(n/stride)-1, or None when the input is periodic (rotations
+    not all distinct — the rank identity does not hold there).
+    """
+    from ..ops.bwt import CURSOR_STRIDE
+
     data = np.asarray(data, dtype=np.uint8)
     n = data.size
     if n == 0:
-        return 0, data
+        return 0, data, np.zeros(0, dtype=np.int32)
     idx = np.arange(n)
     rank = data.astype(np.int64)
     h = 1
@@ -80,7 +94,14 @@ def bwt(data: np.ndarray) -> tuple[int, np.ndarray]:
     order = np.lexsort((idx, rank))
     shift = int(np.nonzero(order == 0)[0][0])
     last = data[(order + n - 1) % n]
-    return shift, last.astype(np.uint8)
+    aperiodic = np.unique(rank).size == n
+    if aperiodic:
+        k = max(-(-n // CURSOR_STRIDE) - 1, 0)
+        j = (np.arange(k) + 1) * CURSOR_STRIDE
+        cps = rank[j % n].astype(np.int32)
+    else:
+        cps = None
+    return shift, last.astype(np.uint8), cps
 
 
 def bwt_inverse(last: np.ndarray, shift: int) -> np.ndarray:
@@ -134,8 +155,9 @@ def mtf_inverse(codes: np.ndarray) -> np.ndarray:
 # Huffman (canonical)
 # ---------------------------------------------------------------------------
 
-def histogram(data: np.ndarray) -> np.ndarray:
-    return np.bincount(np.asarray(data, dtype=np.uint8), minlength=ALPHABET).astype(np.int64)
+def histogram(data: np.ndarray, alphabet: int = ALPHABET) -> np.ndarray:
+    return np.bincount(np.asarray(data).astype(np.int64),
+                       minlength=alphabet).astype(np.int64)
 
 
 def huffman_code_lengths(freqs: np.ndarray) -> np.ndarray:
@@ -147,15 +169,16 @@ def huffman_code_lengths(freqs: np.ndarray) -> np.ndarray:
     Returns a (256,) uint8 array; absent symbols have length 0.
     """
     freqs = np.asarray(freqs, dtype=np.int64)
-    present = [s for s in range(ALPHABET) if freqs[s] > 0]
-    lens = np.zeros(ALPHABET, dtype=np.uint8)
+    alphabet = freqs.size
+    present = [s for s in range(alphabet) if freqs[s] > 0]
+    lens = np.zeros(alphabet, dtype=np.uint8)
     if len(present) <= 1:
         return lens  # zero or one symbol: empty codeword
-    depth = np.zeros(ALPHABET, dtype=np.int64)
+    depth = np.zeros(alphabet, dtype=np.int64)
     # heap of (freq, tiebreak, [symbols]) — tiebreak keeps determinism
     heap = [(int(freqs[s]), s, [s]) for s in present]
     heapq.heapify(heap)
-    tiebreak = ALPHABET
+    tiebreak = alphabet
     while len(heap) > 1:
         f1, _, s1 = heapq.heappop(heap)
         f2, _, s2 = heapq.heappop(heap)
@@ -174,8 +197,9 @@ def huffman_code_lengths(freqs: np.ndarray) -> np.ndarray:
 def canonical_codes(lens: np.ndarray) -> np.ndarray:
     """Canonical code values from code lengths: symbols ordered by (len, symbol)."""
     lens = np.asarray(lens, dtype=np.int64)
-    order = sorted((s for s in range(ALPHABET) if lens[s] > 0), key=lambda s: (lens[s], s))
-    codes = np.zeros(ALPHABET, dtype=np.uint32)
+    alphabet = lens.size
+    order = sorted((s for s in range(alphabet) if lens[s] > 0), key=lambda s: (lens[s], s))
+    codes = np.zeros(alphabet, dtype=np.uint32)
     code = 0
     prev_len = 0
     for s in order:
@@ -192,7 +216,7 @@ def huffman_encode(data: np.ndarray, lens: np.ndarray, codes: np.ndarray) -> tup
     Returns (payload bytes, total payload bits).  Bit order matches the
     reference cursor (io_utilities.h:87-94): first bit = MSB of byte 0.
     """
-    data = np.asarray(data, dtype=np.uint8)
+    data = np.asarray(data).astype(np.int64)
     lens = np.asarray(lens, dtype=np.int64)
     sym_lens = lens[data]
     total_bits = int(sym_lens.sum())
@@ -211,7 +235,7 @@ def huffman_encode(data: np.ndarray, lens: np.ndarray, codes: np.ndarray) -> tup
 def huffman_decode(payload: bytes, lens: np.ndarray, n_symbols: int) -> np.ndarray:
     """Canonical-code FSM decode, bit at a time (oracle for the gap decoder)."""
     lens = np.asarray(lens, dtype=np.int64)
-    present = [s for s in range(ALPHABET) if lens[s] > 0]
+    present = [s for s in range(lens.size) if lens[s] > 0]
     if not present:
         # zero-length codeword: a single distinct symbol, repeated
         bitmap = np.nonzero(lens == 0)[0]
@@ -231,9 +255,9 @@ def huffman_decode(payload: bytes, lens: np.ndarray, n_symbols: int) -> np.ndarr
     for l in range(1, MAX_CODE_LEN + 1):
         offset[l] = acc
         acc += count[l]
-    sym_table = np.array(order, dtype=np.uint8)
+    sym_table = np.array(order, dtype=np.int64)
 
-    out = np.empty(n_symbols, dtype=np.uint8)
+    out = np.empty(n_symbols, dtype=np.int64)
     val = 0
     ln = 0
     pos = 0
@@ -255,21 +279,90 @@ def huffman_decode(payload: bytes, lens: np.ndarray, n_symbols: int) -> np.ndarr
 
 
 # ---------------------------------------------------------------------------
+# RLE0 (zero-run coding of the MTF stream, bzip2-style RUNA/RUNB)
+# ---------------------------------------------------------------------------
+# Maximal runs of MTF code 0 are rewritten in bijective base 2 over two run
+# symbols RUNA=0 / RUNB=1 (run length r = sum over digits of (1+b_i)*2^i,
+# digits least-significant first); every non-zero MTF code c becomes symbol
+# c+1.  Alphabet grows to 257; the zero-dominated post-BWT/MTF stream
+# shrinks by the run lengths' log, which plain Huffman cannot achieve (its
+# floor is 1 bit per zero).  This is a capability the reference lacks —
+# compressed sizes strictly beat the reference table (README.md:19-36).
+
+RLE_ALPHABET = 257
+RUNA = 0
+RUNB = 1
+
+
+def rle0(codes: np.ndarray) -> np.ndarray:
+    """MTF codes (uint8) -> RLE0 symbol stream (int64, values 0..256)."""
+    codes = np.asarray(codes, dtype=np.uint8)
+    out: list[int] = []
+    i = 0
+    n = codes.size
+    while i < n:
+        c = int(codes[i])
+        if c != 0:
+            out.append(c + 1)
+            i += 1
+            continue
+        r = 0
+        while i < n and codes[i] == 0:
+            r += 1
+            i += 1
+        while r > 0:
+            if r & 1:
+                out.append(RUNA)
+                r = (r - 1) // 2
+            else:
+                out.append(RUNB)
+                r = (r - 2) // 2
+    return np.asarray(out, dtype=np.int64)
+
+
+def rle0_inverse(syms: np.ndarray, orig_len: int) -> np.ndarray:
+    """RLE0 symbol stream -> MTF codes (uint8, length orig_len)."""
+    syms = np.asarray(syms).astype(np.int64)
+    out = np.zeros(orig_len, dtype=np.uint8)
+    pos = 0
+    i = 0
+    m = syms.size
+    while i < m:
+        s = int(syms[i])
+        if s >= 2:
+            out[pos] = s - 1
+            pos += 1
+            i += 1
+            continue
+        r = 0
+        w = 1
+        while i < m and syms[i] <= 1:
+            r += (1 + int(syms[i])) * w
+            w *= 2
+            i += 1
+        pos += r  # zeros are the fill value
+    if pos != orig_len:
+        raise ValueError(f"RLE0 expansion mismatch: {pos} != {orig_len}")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Whole-block oracle pipeline
 # ---------------------------------------------------------------------------
 
 def compress_block(data: np.ndarray):
-    """Full oracle pipeline for one block.
+    """Full oracle pipeline for one block: BWT -> MTF -> RLE0 -> Huffman.
 
-    Returns dict with shift, lens (256,), payload bytes, total_bits.
+    Returns dict with shift, lens (257,), rle_len, payload bytes, total_bits.
     """
     data = np.asarray(data, dtype=np.uint8)
-    shift, last = bwt(data)
+    shift, last, cps = bwt_with_checkpoints(data)
     codes_mtf = mtf(last)
-    freqs = histogram(codes_mtf)
+    syms = rle0(codes_mtf)
+    freqs = histogram(syms, alphabet=RLE_ALPHABET)
     lens = huffman_code_lengths(freqs)
     codes = canonical_codes(lens)
-    payload, total_bits = huffman_encode(codes_mtf, lens, codes)
+    payload, total_bits = huffman_encode(syms, lens, codes)
     return {
         "shift": shift,
         "lens": lens,
@@ -277,21 +370,24 @@ def compress_block(data: np.ndarray):
         "payload": payload,
         "total_bits": total_bits,
         "orig_len": data.size,
+        "rle_len": int(syms.size),
+        "cps": cps,
     }
 
 
 def decompress_block(payload: bytes, lens: np.ndarray, shift: int, orig_len: int,
-                     freqs_bitmap: np.ndarray | None = None,
+                     rle_len: int,
                      single_symbol: int | None = None) -> np.ndarray:
     lens = np.asarray(lens, dtype=np.int64)
     if orig_len == 0:
         return np.zeros(0, dtype=np.uint8)
     if (lens > 0).sum() == 0:
-        # single distinct MTF code; must be provided by the caller via bitmap
+        # single distinct RLE0 symbol; must be provided by the caller
         if single_symbol is None:
             raise ValueError("single-symbol block requires the symbol")
-        codes_mtf = np.full(orig_len, single_symbol, dtype=np.uint8)
+        syms = np.full(rle_len, single_symbol, dtype=np.int64)
     else:
-        codes_mtf = huffman_decode(payload, lens, orig_len)
+        syms = huffman_decode(payload, lens, rle_len)
+    codes_mtf = rle0_inverse(syms, orig_len)
     last = mtf_inverse(codes_mtf)
     return bwt_inverse(last, shift)

@@ -1,8 +1,10 @@
 """Batched, jitted TPU block-codec pipeline — the production backend.
 
-Compress: bwt_forward -> mtf_forward -> histogram (one fused jit), host-side
-256-entry canonical code-length build, then the jitted bitpack encoder.
-Decompress: jitted gap decoder, then fused inverse MTF + inverse BWT.
+Compress: bwt_forward_cp -> mtf_forward -> histogram (one fused jit),
+host-side 256-entry canonical code-length build, then the jitted bitpack
+encoder.  Decompress: one fused dispatch — flat Pallas gap decode over the
+concatenated chunk axis of the whole batch, then vmapped inverse MTF +
+checkpointed cursor-walk inverse BWT.
 
 Blocks are padded into power-of-two size buckets and batched per bucket, so
 a handful of XLA compilations serve arbitrary inputs and many blocks run as
@@ -24,10 +26,13 @@ import numpy as np
 from ..ops import bwt as ops_bwt
 from ..ops import huffman as ops_huf
 from ..ops import mtf as ops_mtf
+from ..ops import rle as ops_rle
+from ..ops.pallas_decode import CHUNK_ALIGN
+from ..utils import config as config_mod
 
-MIN_BUCKET = 256
-MTF_CHUNK = 128
-DECODE_CHUNK_BITS = 512
+MIN_BUCKET = config_mod.DEFAULT.min_bucket
+MTF_CHUNK = config_mod.DEFAULT.mtf_chunk
+DECODE_CHUNK_BITS = config_mod.DEFAULT.decode_chunk_bits
 
 
 def _next_pow2(x: int) -> int:
@@ -38,20 +43,28 @@ def _bucket(n: int) -> int:
     return max(MIN_BUCKET, _next_pow2(n))
 
 
+def _n_cps(n: int) -> int:
+    """Checkpoints stored for a block of true length n."""
+    return max(-(-n // ops_bwt.CURSOR_STRIDE) - 1, 0)
+
+
 # ---------------------------------------------------------------------------
 # Jitted batched stages (cached per static shape)
 # ---------------------------------------------------------------------------
 
 def compress_stage1_fn(data, n):
-    """(nmax,) uint8, scalar n -> (mtf codes, 256-histogram, bwt shift)."""
-    last, shift = ops_bwt.bwt_forward(data, n)
+    """(nmax,) uint8, scalar n -> (RLE0 symbols, their count m, 257-bin
+    histogram, bwt shift, iBWT cursor checkpoints, aperiodic flag)."""
+    last, shift, cps, aperiodic = ops_bwt.bwt_forward_cp(data, n)
     codes = ops_mtf.mtf_forward(last, n, MTF_CHUNK)
-    freqs = ops_huf.histogram(codes, n)
-    return codes, freqs, shift
+    syms, m = ops_rle.rle0_encode(codes, n)
+    freqs = ops_huf.histogram(syms, m, bins=ops_rle.RLE_ALPHABET)
+    return syms, m, freqs, shift, cps, aperiodic
 
 
-def decompress_stage2_fn(codes, shift, n):
-    """(nmax,) uint8 MTF codes -> original block bytes."""
+def decompress_stage2_fn(syms, m, shift, n):
+    """(nmax,) int32 RLE0 symbols -> original block bytes (doubling iBWT)."""
+    codes = ops_rle.rle0_decode(syms, m, n)
     last = ops_mtf.mtf_inverse(codes, n, MTF_CHUNK)
     return ops_bwt.bwt_inverse(last, shift, n)
 
@@ -67,23 +80,34 @@ def _batched_stage2(nmax: int, batch: int):
 
 
 @functools.lru_cache(maxsize=128)
-def _batched_decode_full(nwords: int, nmax: int, batch: int, chunk_bits: int):
-    """Fused Huffman gap decode + inverse MTF + inverse BWT: one dispatch."""
-    nout = nwords * 32 // chunk_bits * chunk_bits
-    keep = min(nout, nmax)
-
-    def f(words, count, first, offset, sym, shift, n):
-        tables = {"count": count, "first": first, "offset": offset, "sym": sym}
-        dec = ops_huf.gap_decode(words, tables, n, chunk_bits=chunk_bits)
-        codes = jnp.zeros(nmax, dtype=jnp.uint8).at[:keep].set(dec[:keep])
-        return decompress_stage2_fn(codes, shift, n)
-
-    return jax.jit(jax.vmap(f))
+def _batched_decode2(nmax: int, batch: int):
+    return jax.jit(jax.vmap(decompress_stage2_fn))
 
 
 @functools.lru_cache(maxsize=128)
-def _batched_decode2(nmax: int, batch: int):
-    return jax.jit(jax.vmap(decompress_stage2_fn))
+def _decode_flat(nc: int, nmax: int, batch: int, chunk_bits: int, maxl: int):
+    """Fused flat Huffman gap decode + inverse MTF + cursor iBWT."""
+    kcp = max(max(nmax // ops_bwt.CURSOR_STRIDE, 1) - 1, 1)
+
+    @jax.jit
+    def f(words_flat, count_t, seg_start, seg_start_idx, seg_id, sym_tbl,
+          ms, ns, shifts, cps):
+        tiles = ops_huf.unpack_bit_tiles_flat(words_flat, chunk_bits)
+        syms = ops_huf.gap_decode_flat(tiles, count_t, seg_start,
+                                       seg_start_idx, seg_id, sym_tbl, ms,
+                                       nmax, chunk_bits, maxl)
+
+        def per_block(syms_b, m, shift, cp, n):
+            codes_b = ops_rle.rle0_decode(syms_b, m, n)
+            last = ops_mtf.mtf_inverse(codes_b, n, MTF_CHUNK)
+            return ops_bwt.bwt_inverse_cursors(last, shift, cp, n)
+
+        # syms has a trailing dummy row (pad chunks' segment); drop it
+        b_real_rows = shifts.shape[0]
+        return jax.vmap(per_block)(syms[:b_real_rows], ms[:b_real_rows],
+                                   shifts, cps, ns[:b_real_rows])
+
+    return f, kcp
 
 
 # ---------------------------------------------------------------------------
@@ -118,52 +142,62 @@ class JaxBackend:
             for row, i in enumerate(idxs):
                 batch[row, : arrs[i].size] = arrs[i]
                 ns[row] = arrs[i].size
-            codes, freqs, shifts = _batched_stage1(nmax, b_pad)(
+            syms, ms, freqs, shifts, cps, aper = _batched_stage1(nmax, b_pad)(
                 jnp.asarray(batch), jnp.asarray(ns))
             freqs_np = np.asarray(freqs)
             shifts_np = np.asarray(shifts)
+            ms_np = np.asarray(ms)
+            cps_np = np.asarray(cps)
+            aper_np = np.asarray(aper)
 
-            lens_all = np.zeros((b_pad, 256), dtype=np.uint8)
-            code_tbls = np.zeros((b_pad, 256), dtype=np.uint32)
+            A = ops_rle.RLE_ALPHABET
+            lens_all = np.zeros((b_pad, A), dtype=np.uint8)
+            code_tbls = np.zeros((b_pad, A), dtype=np.uint32)
             for row in range(b_real):
                 lens_all[row] = ops_huf.code_lengths_from_hist(freqs_np[row])
                 if (lens_all[row] > 0).any():
                     code_tbls[row] = ops_huf.canonical_code_table(lens_all[row])
             words, total_bits = _batched_stage2(nmax, b_pad)(
-                codes, jnp.asarray(ns),
+                syms, ms,
                 jnp.asarray(lens_all.astype(np.int32)), jnp.asarray(code_tbls))
             words_np = np.asarray(words)
             bits_np = np.asarray(total_bits)
 
             for row, i in enumerate(idxs):
                 tb = int(bits_np[row])
+                n = int(ns[row])
                 payload = (words_np[row].astype(">u4").tobytes()[: (tb + 7) // 8]
                            if (lens_all[row] > 0).any() else b"")
                 results[i] = {
-                    "orig_len": int(ns[row]),
+                    "orig_len": n,
                     "shift": int(shifts_np[row]),
                     "lens": lens_all[row],
                     "freqs": freqs_np[row],
                     "payload": payload,
                     "total_bits": tb,
+                    "rle_len": int(ms_np[row]),
+                    "cps": cps_np[row, : _n_cps(n)] if aper_np[row] else None,
                 }
         return results  # type: ignore[return-value]
 
     def decompress_blocks(self, blocks: list[dict],
                           bucket: int | None = None,
                           chunk_bucket: int | None = None) -> list[np.ndarray]:
-        """bucket / chunk_bucket: force uniform padded block / payload-chunk
-        sizes so a heterogeneous batch becomes one dispatch."""
+        """bucket: force a uniform padded block size so a heterogeneous batch
+        becomes one dispatch.  (chunk_bucket is accepted for API compat; the
+        flat chunk axis makes it unnecessary.)"""
         results: list[np.ndarray | None] = [None] * len(blocks)
 
         def blk_bucket(n: int) -> int:
             return max(bucket, _bucket(n)) if bucket else _bucket(n)
 
-        # multi-symbol blocks: fused gap decode + iMTF + iBWT, grouped by
-        # (padded chunk count, block bucket); single-symbol blocks skip the
-        # Huffman stage and only need the inverse transforms
-        dgroups: dict[tuple[int, int], list[int]] = defaultdict(list)
+        # multi-symbol cursor-eligible blocks: flat gap decode + iMTF + cursor
+        # iBWT, grouped by block bucket.  Single-symbol blocks skip Huffman;
+        # periodic blocks (no valid checkpoints, > one stride) fall back to
+        # the doubling iBWT path.
+        fgroups: dict[int, list[int]] = defaultdict(list)
         sgroups: dict[int, list[int]] = defaultdict(list)
+        pgroups: dict[int, list[int]] = defaultdict(list)
         for i, b in enumerate(blocks):
             n = int(b["orig_len"])
             present = np.asarray(b["present"])
@@ -171,57 +205,104 @@ class JaxBackend:
                 results[i] = np.zeros(0, dtype=np.uint8)
             elif int(present.sum()) == 1:
                 sgroups[blk_bucket(n)].append(i)
+            elif b.get("cps") is None and n > ops_bwt.CURSOR_STRIDE:
+                pgroups[blk_bucket(n)].append(i)
             else:
-                wbytes = DECODE_CHUNK_BITS // 8
-                nchunks = max(1, -(-len(b["payload"]) // wbytes))
-                nchunks = _next_pow2(nchunks) if nchunks > 1 else 1
-                if chunk_bucket:
-                    nchunks = max(nchunks, chunk_bucket)
-                dgroups[(nchunks, blk_bucket(n))].append(i)
+                fgroups[blk_bucket(n)].append(i)
 
-        for (nchunks, nmax), idxs in dgroups.items():
-            wbytes = DECODE_CHUNK_BITS // 8
-            nwords = nchunks * wbytes // 4
+        wbytes = DECODE_CHUNK_BITS // 8
+
+        for nmax, idxs in fgroups.items():
             b_real = len(idxs)
             b_pad = _next_pow2(b_real)
-            words = np.zeros((b_pad, nwords), dtype=np.uint32)
-            ns = np.ones(b_pad, dtype=np.int32)
-            shifts = np.zeros(b_pad, dtype=np.int32)
-            tb = {k: np.zeros((b_pad, *np.shape(v)), dtype=np.asarray(v).dtype)
-                  for k, v in ops_huf.decode_tables(np.zeros(256)).items()}
-            for row, i in enumerate(idxs):
+            # flat chunk layout
+            spans = []  # (start_chunk, n_chunks) per block
+            nc_true = 0
+            maxl = 0
+            for i in idxs:
                 b = blocks[i]
-                buf = b["payload"] + b"\x00" * (nchunks * wbytes - len(b["payload"]))
-                words[row] = np.frombuffer(buf, dtype=">u4").astype(np.uint32)
-                ns[row] = int(b["orig_len"])
-                shifts[row] = int(b["shift"])
+                nc_b = max(1, -(-len(b["payload"]) // wbytes))
+                spans.append((nc_true, nc_b))
+                nc_true += nc_b
+                maxl = max(maxl, int(np.asarray(b["lens"]).max()))
+            maxl = min(max(8, -(-maxl // 8) * 8), 31)
+            nc = _next_pow2(-(-nc_true // CHUNK_ALIGN)) * CHUNK_ALIGN
+
+            A = ops_rle.RLE_ALPHABET
+            words = np.zeros(nc * wbytes // 4, dtype=np.uint32)
+            count_t = np.zeros((32, nc), dtype=np.int32)
+            seg_id = np.full(nc, b_pad, dtype=np.int32)
+            seg_start = np.zeros(nc, dtype=bool)
+            seg_start[nc_true:] = True
+            seg_start_idx = np.arange(nc, dtype=np.int32)
+            sym_tbl = np.zeros((b_pad + 1, A), dtype=np.int32)
+            ns = np.ones(b_pad + 1, dtype=np.int32)
+            ms = np.ones(b_pad + 1, dtype=np.int32)
+            ms[b_pad] = 0
+            shifts = np.zeros(b_pad, dtype=np.int32)
+            fn, kcp = _decode_flat(nc, nmax, b_pad, DECODE_CHUNK_BITS, maxl)
+            cps = np.zeros((b_pad, kcp), dtype=np.int32)
+
+            for row, (i, (c0, nc_b)) in enumerate(zip(idxs, spans)):
+                b = blocks[i]
+                buf = b["payload"] + b"\x00" * (nc_b * wbytes - len(b["payload"]))
+                words[c0 * wbytes // 4:(c0 + nc_b) * wbytes // 4] = np.frombuffer(
+                    buf, dtype=">u4").astype(np.uint32)
                 t = ops_huf.decode_tables(np.asarray(b["lens"]))
-                for k in t:
-                    tb[k][row] = t[k]
-            data = _batched_decode_full(nwords, nmax, b_pad, DECODE_CHUNK_BITS)(
-                jnp.asarray(words), jnp.asarray(tb["count"]), jnp.asarray(tb["first"]),
-                jnp.asarray(tb["offset"]), jnp.asarray(tb["sym"]),
-                jnp.asarray(shifts), jnp.asarray(ns))
+                count_t[:, c0:c0 + nc_b] = t["count"][:, None]
+                seg_id[c0:c0 + nc_b] = row
+                seg_start[c0] = True
+                seg_start_idx[c0:c0 + nc_b] = c0
+                sym_tbl[row] = t["sym"][:A]
+                ns[row] = int(b["orig_len"])
+                ms[row] = int(b["rle_len"])
+                shifts[row] = int(b["shift"])
+                bc = b.get("cps")
+                if bc is not None and len(bc) > 0:
+                    cc = np.asarray(bc, dtype=np.int32)[:kcp]
+                    cps[row, : cc.size] = cc
+
+            data = fn(jnp.asarray(words), jnp.asarray(count_t),
+                      jnp.asarray(seg_start), jnp.asarray(seg_start_idx),
+                      jnp.asarray(seg_id), jnp.asarray(sym_tbl),
+                      jnp.asarray(ms), jnp.asarray(ns), jnp.asarray(shifts),
+                      jnp.asarray(cps))
             data_np = np.asarray(data)
             for row, i in enumerate(idxs):
                 results[i] = data_np[row, : int(ns[row])]
 
-        # single-symbol blocks: materialise codes, inverse transforms only
+        # periodic blocks (rare, degenerate): exact sequential oracle
+        for nmax, idxs in pgroups.items():
+            from . import oracle
+
+            for i in idxs:
+                b = blocks[i]
+                results[i] = oracle.decompress_block(
+                    b["payload"], np.asarray(b["lens"]), int(b["shift"]),
+                    int(b["orig_len"]), int(b["rle_len"]))
+
+        # single-symbol blocks: materialise the constant RLE0 stream, then
+        # inverse transforms only (doubling iBWT — degenerate inputs may be
+        # periodic, where cursor checkpoints are undefined)
         for nmax, idxs in sgroups.items():
             b_real = len(idxs)
             b_pad = _next_pow2(b_real)
-            batch = np.zeros((b_pad, nmax), dtype=np.uint8)
+            batch = np.zeros((b_pad, nmax), dtype=np.int32)
             ns = np.ones(b_pad, dtype=np.int32)
+            ms = np.ones(b_pad, dtype=np.int32)
             shifts = np.zeros(b_pad, dtype=np.int32)
             for row, i in enumerate(idxs):
                 b = blocks[i]
                 n = int(b["orig_len"])
+                m = int(b["rle_len"])
                 sym = int(np.nonzero(np.asarray(b["present"]))[0][0])
-                batch[row, :n] = sym
+                batch[row, :m] = sym
                 ns[row] = n
+                ms[row] = m
                 shifts[row] = int(b["shift"])
             data = _batched_decode2(nmax, b_pad)(
-                jnp.asarray(batch), jnp.asarray(shifts), jnp.asarray(ns))
+                jnp.asarray(batch), jnp.asarray(ms), jnp.asarray(shifts),
+                jnp.asarray(ns))
             data_np = np.asarray(data)
             for row, i in enumerate(idxs):
                 results[i] = data_np[row, : int(ns[row])]

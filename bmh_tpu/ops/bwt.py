@@ -30,6 +30,13 @@ _PALLAS_SORT_MAX = 1 << 18
 def _use_pallas_sort(n: int) -> bool:
     import jax as _jax
 
+    from ..utils import config as config_mod
+
+    if not config_mod.DEFAULT.pallas_sort:
+        # XLA's HBM bitonic sort measured ~2x faster than the VMEM network
+        # at batched (32, 128K) production shapes on v5e; keep the kernel
+        # behind BMH_PALLAS_SORT=1 for small-block experiments.
+        return False
     try:
         on_tpu = _jax.devices()[0].platform == "tpu"
     except Exception:
@@ -54,18 +61,14 @@ def _stable_sort3(key1, key2, payload):
     return k1, k2, p
 
 
-def bwt_forward(data: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Cyclic-rotation BWT.
+# Cursor stride of the checkpointed inverse walk: the forward transform
+# records rank[(j*CURSOR_STRIDE) % n] so the inverse can run one independent
+# LF-walk cursor per stride instead of the O(N log N) permutation doubling.
+CURSOR_STRIDE = 4096
 
-    Args:
-      data: (Nmax,) uint8, first `n` entries valid.
-      n:    scalar int32 true length (>= 1).
 
-    Returns:
-      (last_col (Nmax,) uint8 — first n valid, zeros after;
-       shift int32 — sorted position of rotation 0, the reference's
-       `shift_position` (main.cpp:85-89)).
-    """
+def _bwt_ranks(data: jax.Array, n: jax.Array):
+    """Shared prefix-doubling core: returns (rank, order, real mask, pos)."""
     nmax = data.shape[0]
     pos = jnp.arange(nmax, dtype=jnp.int32)
     real = pos < n
@@ -109,10 +112,95 @@ def bwt_forward(data: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]:
 
     # final order: by rank, ties by index (stable) — equal full rotations
     _, _, order = _stable_sort3(rank, pos, pos)
+    return rank, order, real, pos
+
+
+def bwt_forward(data: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Cyclic-rotation BWT.
+
+    Args:
+      data: (Nmax,) uint8, first `n` entries valid.
+      n:    scalar int32 true length (>= 1).
+
+    Returns:
+      (last_col (Nmax,) uint8 — first n valid, zeros after;
+       shift int32 — sorted position of rotation 0, the reference's
+       `shift_position` (main.cpp:85-89)).
+    """
+    nmax = data.shape[0]
+    rank, order, real, pos = _bwt_ranks(data, n)
     prev_idx = jnp.where(order == 0, n - 1, order - 1)
     last = jnp.where(real, data[jnp.clip(prev_idx, 0, nmax - 1)], 0).astype(jnp.uint8)
     shift = jnp.sum(jnp.where(order == 0, pos, 0)).astype(jnp.int32)
     return last, shift
+
+
+def bwt_forward_cp(data: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array,
+                                                           jax.Array, jax.Array]:
+    """BWT forward that additionally samples inverse-walk checkpoints.
+
+    For aperiodic inputs (all rotations distinct) the decode-side LF walk
+    satisfies orbit[t] = rank[(t+1) mod n], so sampling rank at the fixed
+    stride positions j*CURSOR_STRIDE gives the inverse transform one cursor
+    start per stride — no permutation doubling at decode.  Periodic inputs
+    (rank not a bijection — e.g. an exactly repeated word filling the whole
+    block) break the identity; they are flagged and the caller falls back.
+
+    Returns (last, shift, cps (Nmax//CURSOR_STRIDE or 1,) int32, aperiodic
+    bool).  cps[j] = rank[((j+1)*CURSOR_STRIDE) % n]; entries past
+    ceil(n/CURSOR_STRIDE)-1 are don't-care.
+    """
+    nmax = data.shape[0]
+    k = max(nmax // CURSOR_STRIDE, 1)
+    rank, order, real, pos = _bwt_ranks(data, n)
+    prev_idx = jnp.where(order == 0, n - 1, order - 1)
+    last = jnp.where(real, data[jnp.clip(prev_idx, 0, nmax - 1)], 0).astype(jnp.uint8)
+    shift = jnp.sum(jnp.where(order == 0, pos, 0)).astype(jnp.int32)
+
+    # aperiodic <=> real ranks are pairwise distinct <=> sorted real ranks
+    # strictly increase (order holds positions sorted by (rank, pos))
+    rank_sorted = rank[order]
+    adj_equal = (rank_sorted[1:] == rank_sorted[:-1]) & (pos[1:] < n)
+    aperiodic = jnp.logical_not(jnp.any(adj_equal))
+
+    j = (jnp.arange(k, dtype=jnp.int32) + 1) * CURSOR_STRIDE
+    jmod = j % jnp.maximum(n, 1)
+    cps = rank[jnp.clip(jmod, 0, nmax - 1)].astype(jnp.int32)
+    return last, shift, cps, aperiodic
+
+
+def bwt_inverse_cursors(last: jax.Array, shift: jax.Array, cps: jax.Array,
+                        n: jax.Array) -> jax.Array:
+    """Inverse BWT via checkpointed parallel LF-walk cursors.
+
+    Cursor j reproduces output positions [j*CURSOR_STRIDE, (j+1)*CURSOR_STRIDE):
+    it starts from rank[(j*CURSOR_STRIDE) % n] (cursor 0 from `shift`) and
+    follows the LF map CURSOR_STRIDE times.  Replaces the reference's single
+    sequential N-step walk (main.cpp:70-73) with Nmax/CURSOR_STRIDE
+    independent lanes of a CURSOR_STRIDE-step scan — and unlike permutation
+    doubling it performs only O(N) total gather work.
+    """
+    nmax = last.shape[0]
+    k = max(nmax // CURSOR_STRIDE, 1)
+    assert nmax % k == 0, "Nmax must be a power of two"
+    steps = nmax // k  # = CURSOR_STRIDE, or Nmax itself when Nmax < stride
+    pos = jnp.arange(nmax, dtype=jnp.int32)
+    real = pos < n
+    key = jnp.where(real, last.astype(jnp.int32), INT32_BIG)
+    _, _, l_shift = _stable_sort3(key, pos, pos)
+    p = jnp.clip(l_shift, 0, nmax - 1)
+
+    starts = jnp.concatenate([shift[None].astype(jnp.int32), cps[: k - 1]])
+    starts = jnp.clip(starts, 0, nmax - 1)
+
+    def step(rows, _):
+        nxt = p[rows]
+        return nxt, nxt
+
+    _, orbit = jax.lax.scan(step, starts, None, length=steps)  # (steps, k)
+    orbit_flat = orbit.T.reshape(nmax)  # cursor-major == output order
+    out = jnp.where(real, last[orbit_flat], 0).astype(jnp.uint8)
+    return out
 
 
 def bwt_inverse(last: jax.Array, shift: jax.Array, n: jax.Array) -> jax.Array:

@@ -33,25 +33,24 @@ import jax.numpy as jnp
 import numpy as np
 
 ALPHABET = 256
+RLE_ALPHABET = 257    # MTF alphabet + RUNA/RUNB (ops/rle.py)
 MAX_LEN = 31          # code lengths fit 5 container bits
 GAPS = 32             # possible codeword-boundary offsets at a chunk cut
 DEFAULT_CHUNK_BITS = 2048
 
 
-def _use_pallas_decode(nc: int) -> bool:
-    import os
-
+def _use_pallas_decode() -> bool:
     import jax as _jax
 
-    # Default OFF until the kernel is proven to lower on the live Mosaic
-    # version (round-1 shipped a kernel that failed scf.for legalization).
-    if os.environ.get("BMH_PALLAS_DECODE", "0") == "0":
+    from ..utils import config as config_mod
+
+    if not config_mod.DEFAULT.pallas_decode:
         return False
     try:
         on_tpu = _jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
-    return on_tpu and (nc & (nc - 1)) == 0
+    return on_tpu
 
 
 # ---------------------------------------------------------------------------
@@ -69,13 +68,14 @@ def code_lengths_from_hist(freqs: np.ndarray) -> np.ndarray:
     """
     from ..utils import nativeio
 
-    native = nativeio.code_lengths(np.asarray(freqs, dtype=np.int64))
-    if native is not None:
-        return native
     freqs = np.asarray(freqs)
+    if freqs.size == ALPHABET:
+        native = nativeio.code_lengths(np.asarray(freqs, dtype=np.int64))
+        if native is not None:
+            return native
     syms = np.nonzero(freqs > 0)[0]
     s = syms.size
-    lens = np.zeros(ALPHABET, dtype=np.uint8)
+    lens = np.zeros(freqs.size, dtype=np.uint8)
     if s <= 1:
         return lens  # zero/one distinct symbol: empty codeword
     order = np.argsort(freqs[syms], kind="stable")
@@ -113,12 +113,13 @@ def canonical_code_table(lens: np.ndarray) -> np.ndarray:
     """(256,) uint32 canonical code values; symbols ordered by (len, symbol)."""
     from ..utils import nativeio
 
-    native = nativeio.canonical_codes(np.asarray(lens, dtype=np.uint8))
-    if native is not None:
-        return native
+    if np.asarray(lens).size == ALPHABET:
+        native = nativeio.canonical_codes(np.asarray(lens, dtype=np.uint8))
+        if native is not None:
+            return native
     lens = np.asarray(lens, dtype=np.int64)
-    order = sorted((s for s in range(ALPHABET) if lens[s] > 0), key=lambda s: (lens[s], s))
-    codes = np.zeros(ALPHABET, dtype=np.uint32)
+    order = sorted((s for s in range(lens.size) if lens[s] > 0), key=lambda s: (lens[s], s))
+    codes = np.zeros(lens.size, dtype=np.uint32)
     code = 0
     prev = 0
     for s in order:
@@ -130,28 +131,22 @@ def canonical_code_table(lens: np.ndarray) -> np.ndarray:
 
 
 def decode_tables(lens: np.ndarray) -> dict[str, np.ndarray]:
-    """Canonical decode tables: per-length count/first_code/offset + symbol list."""
+    """Canonical decode tables: per-length codeword counts + symbol list.
+
+    The gap-decode FSM carries first/offset as in-register recurrences
+    (ops/pallas_decode.py docstring), so only `count` (32,) and the
+    (len, symbol)-ordered `sym` list (256,) are materialised.
+    """
     lens = np.asarray(lens, dtype=np.int64)
     count = np.zeros(MAX_LEN + 1, dtype=np.int64)
-    for s in range(ALPHABET):
+    for s in range(lens.size):
         if lens[s] > 0:
             count[lens[s]] += 1
-    first = np.zeros(MAX_LEN + 1, dtype=np.int64)
-    offset = np.zeros(MAX_LEN + 1, dtype=np.int64)
-    c = 0
-    acc = 0
-    for l in range(1, MAX_LEN + 1):
-        first[l] = c
-        c = (c + count[l]) << 1
-        offset[l] = acc
-        acc += count[l]
-    order = sorted((s for s in range(ALPHABET) if lens[s] > 0), key=lambda s: (lens[s], s))
-    sym_table = np.zeros(ALPHABET, dtype=np.int32)
+    order = sorted((s for s in range(lens.size) if lens[s] > 0), key=lambda s: (lens[s], s))
+    sym_table = np.zeros(max(lens.size, ALPHABET), dtype=np.int32)
     sym_table[:len(order)] = order
     return {
         "count": count.astype(np.int32),
-        "first": first.astype(np.uint32),
-        "offset": offset.astype(np.int32),
         "sym": sym_table,
     }
 
@@ -160,29 +155,34 @@ def decode_tables(lens: np.ndarray) -> dict[str, np.ndarray]:
 # Device ops
 # ---------------------------------------------------------------------------
 
-def histogram(data: jax.Array, n: jax.Array) -> jax.Array:
-    """Masked 256-bin histogram (reference: main.cpp:235-237).
+def histogram(data: jax.Array, n: jax.Array, bins: int = ALPHABET) -> jax.Array:
+    """Masked histogram (reference: main.cpp:235-237).
 
-    Compare-and-reduce instead of scatter-add: a (256, N) streaming compare
+    Compare-and-reduce instead of scatter-add: a (bins, N) streaming compare
     fuses into a single VPU reduction, ~40x faster than TPU scatter.
     """
     pos = jnp.arange(data.shape[0], dtype=jnp.int32)
     valid = pos < n
     sym = data.astype(jnp.int32)
-    bins = jnp.arange(ALPHABET, dtype=jnp.int32)[:, None]
-    return jnp.sum((sym[None, :] == bins) & valid[None, :], axis=1, dtype=jnp.int32)
+    b = jnp.arange(bins, dtype=jnp.int32)[:, None]
+    return jnp.sum((sym[None, :] == b) & valid[None, :], axis=1, dtype=jnp.int32)
+
+
+def words_cap(nmax: int) -> int:
+    """Static uint32 word capacity of the bitpack output for Nmax symbols."""
+    return (10 * nmax + 31) // 32 + 1
 
 
 def encode_bitpack(data: jax.Array, n: jax.Array, len_tbl: jax.Array,
                    code_tbl: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Pack canonical codes MSB-first into uint32 big-endian-bit words.
 
-    data: (Nmax,) uint8; len_tbl (256,) int32; code_tbl (256,) uint32.
-    Returns (words (W,) uint32 with W = ceil(9*Nmax/32)+1, total_bits int32).
-    W is static: Huffman average length is < H+1 <= 9 bits/symbol.
+    data: (Nmax,) int; len_tbl (A,) int32; code_tbl (A,) uint32.
+    Returns (words (W,) uint32 with W = words_cap(Nmax), total_bits int32).
+    W is static: optimal-code average length < H+1 <= log2(257)+1 < 10 b/sym.
     """
     nmax = data.shape[0]
-    w_out = (9 * nmax + 31) // 32 + 1
+    w_out = words_cap(nmax)
     pos = jnp.arange(nmax, dtype=jnp.int32)
     sym = data.astype(jnp.int32)
     ln = jnp.where(pos < n, len_tbl[sym], 0)
@@ -213,153 +213,104 @@ def encode_bitpack(data: jax.Array, n: jax.Array, len_tbl: jax.Array,
     return (seg_hi + seg_lo).astype(jnp.uint32), total_bits
 
 
-def _unpack_bit_tiles(words: jax.Array, chunk_bits: int) -> jax.Array:
-    """(W,) uint32 -> (chunk_bits + GAPS, nc) uint32 bit tiles, time-major.
 
-    Each chunk's tile carries its own bits plus the first GAPS bits of the
-    next chunk (codewords may straddle the cut).  Time-major layout so the
-    per-step FSM slice is a contiguous row (a minor-dim dynamic slice would
-    be a strided access on TPU's tiled layout).  Pure elementwise unpack +
-    reshape/transpose — no gathers.
+def unpack_bit_tiles_flat(words: jax.Array, chunk_bits: int) -> jax.Array:
+    """(W,) uint32 -> (chunk_bits + GAPS, NC) int32 bit tiles, time-major.
+
+    W*32 must be a multiple of chunk_bits.  Each chunk's tile carries its own
+    bits plus the first GAPS bits of the following chunk (codewords may
+    straddle the cut).  When `words` is the concatenation of several blocks'
+    payloads (each padded to a chunk multiple), the GAPS-bit lookahead of a
+    block's last chunk leaks into the next block — harmless: it is consumed
+    only by pad bits past that block's symbol count, which the caller drops.
+    Time-major so the per-step FSM row is a contiguous lane vector.
     """
     nwords = words.shape[0]
     nc = nwords * 32 // chunk_bits
+    assert nc * chunk_bits == nwords * 32, "pad words to a multiple of chunk_bits"
     shifts = (31 - jnp.arange(32, dtype=jnp.uint32))
-    bits = ((words[:, None] >> shifts[None, :]) & jnp.uint32(1))
+    bits = ((words[:, None] >> shifts[None, :]) & jnp.uint32(1)).astype(jnp.int32)
     tile = bits.reshape(nc, chunk_bits)
     nxt = jnp.concatenate([tile[1:, :GAPS], jnp.zeros((1, GAPS), tile.dtype)], axis=0)
-    return jnp.concatenate([tile, nxt], axis=1).T  # (steps, nc)
+    return jnp.concatenate([tile, nxt], axis=1).T  # (steps, NC)
 
 
-def _fsm_step(bit, start_gap, t, chunk_bits, count_tbl, state):
-    """One bit of the branch-free canonical FSM.
+def gap_decode_flat(tiles: jax.Array, count_t: jax.Array,
+                    seg_start: jax.Array, seg_start_idx: jax.Array,
+                    seg_id: jax.Array, sym_tbl: jax.Array, n: jax.Array,
+                    nmax: int, chunk_bits: int,
+                    maxl: int = MAX_LEN) -> jax.Array:
+    """Parallel canonical Huffman decode over a flattened chunk axis.
 
-    All lanes of a chunk consume the same tile bit at absolute tile time t;
-    a lane with entry gap g is frozen until t >= g and after it finishes.
+    All blocks of a batch contribute their chunks to one (steps, NC) tile
+    array — no per-block padding to a common chunk count.  Phase A decodes
+    every (gap, chunk) lane; a *segmented* associative scan chains exit gaps
+    within each block; phase B re-decodes the winning lane and symbols are
+    scattered straight into the (B, nmax) code matrix.
 
-    The canonical tables are carried *incrementally*: with f = first[ln+1]
-    and o = offset[ln+1] as state, the canonical-code identities
-    first[l+1] = (first[l]+count[l])<<1 and offset[l+1] = offset[l]+count[l]
-    advance them in two adds — only count[l] needs a (32-wide, gather-free)
-    one-hot select.  Resets are free because first[1] = offset[1] = 0.
-
-    state: val (uint32), ln, f (uint32), o, done (bool), cnt, exitg —
-    lane-shaped.  bit broadcasts against the lane shape.  Returns
-    (new_state, emitted canonical table index per lane or -1).
+    tiles:     (chunk_bits+GAPS, NC) int32 from unpack_bit_tiles_flat
+    count_t:   (32, NC) int32 — each chunk's block's per-length counts
+    seg_start: (NC,) bool — True at each block's first chunk
+    seg_start_idx: (NC,) int32 — index of own block's first chunk
+    seg_id:    (NC,) int32 — block row in [0, B)
+    sym_tbl:   (B, 256) int32 canonical-order symbol lists
+    n:         (B,) int32 true symbol counts
+    Returns (B, nmax) uint8 MTF codes (pad positions zero-filled).
     """
-    val, ln, f, o, done, cnt, exitg = state
-    active = jnp.logical_not(done) & (t >= start_gap)
+    from . import pallas_decode
 
-    val_n = (val << 1) | bit
-    ln_n = ln + 1
+    steps, nc = tiles.shape
+    b = sym_tbl.shape[0]
 
-    lrange = jnp.arange(MAX_LEN + 1, dtype=jnp.int32)
-    onehot = ln_n[..., None] == lrange
-    cnt_l = jnp.sum(jnp.where(onehot, count_tbl, 0), axis=-1)
-
-    rel = (val_n - f).astype(jnp.int32)
-    complete = (cnt_l > 0) & (rel >= 0) & (rel < cnt_l)
-    overflow = ln_n >= MAX_LEN + 1
-    reset = complete | overflow
-
-    emit_idx = jnp.where(active & complete, jnp.clip(o + rel, 0, ALPHABET - 1), -1)
-
-    finish = complete & (t + 1 >= chunk_bits)
-    val2 = jnp.where(active, jnp.where(reset, jnp.uint32(0), val_n), val)
-    ln2 = jnp.where(active, jnp.where(reset, 0, ln_n), ln)
-    f2 = jnp.where(active, jnp.where(reset, jnp.uint32(0),
-                                     (f + cnt_l.astype(jnp.uint32)) << 1), f)
-    o2 = jnp.where(active, jnp.where(reset, 0, o + cnt_l), o)
-    cnt2 = jnp.where(active & complete, cnt + 1, cnt)
-    exit2 = jnp.where(active & finish, t + 1 - chunk_bits, exitg)
-    done2 = done | (active & finish)
-    return (val2, ln2, f2, o2, done2, cnt2, exit2), emit_idx
-
-
-def gap_decode(words: jax.Array, tables: dict[str, jax.Array], n: jax.Array,
-               chunk_bits: int = DEFAULT_CHUNK_BITS) -> jax.Array:
-    """Parallel canonical Huffman decode of a padded word buffer.
-
-    words: (W,) uint32, W*32 a multiple of chunk_bits (zero-padded);
-    tables: device copies of `decode_tables` output;
-    n: true symbol count.  Returns (nc*chunk_bits,) uint8; caller slices
-    [:Nmax] and masks by n.
-    """
-    nwords = words.shape[0]
-    total_bits_cap = nwords * 32
-    nc = total_bits_cap // chunk_bits
-    assert nc * chunk_bits == total_bits_cap, "pad words to a multiple of chunk_bits"
-    steps = chunk_bits + GAPS
-
-    tiles = _unpack_bit_tiles(words, chunk_bits)  # (steps, nc)
-    count_tbl = tables["count"].astype(jnp.int32)
-    sym_tbl = tables["sym"]
-    gaps = jnp.arange(GAPS, dtype=jnp.int32)[None, :]  # (1, G)
-
-    use_pallas = _use_pallas_decode(nc)
-    if use_pallas:
-        from . import pallas_decode
-
-        count_rows = jnp.broadcast_to(count_tbl[None, :], (nc, MAX_LEN + 1))
-        count_rows = count_rows + jnp.zeros_like(count_rows)  # materialise
+    if _use_pallas_decode():
         cnt_map, exit_map = pallas_decode.phase_a(
-            tiles, count_rows, chunk_bits=chunk_bits, interpret=False)
+            tiles, count_t, chunk_bits=chunk_bits, maxl=maxl, interpret=False)
+    else:
+        cnt_map, exit_map = pallas_decode.phase_a_scan(
+            tiles, count_t, chunk_bits=chunk_bits, maxl=maxl)
 
-    # ---- phase A: all (chunk, gap) lanes; exit gaps + symbol counts only ----
-    t_axis = jnp.arange(steps, dtype=jnp.int32)
+    # segmented prefix composition of exit maps -> per-chunk entry gap
+    maps = exit_map.T  # (NC, GAPS); maps[c][g] = exit gap of chunk c entered at g
+    flags = seg_start.astype(jnp.int32)
 
-    if not use_pallas:
-        def body_a(st, xs):
-            t, bits_row = xs  # bits_row: (nc,)
-            st2, _ = _fsm_step(bits_row[:, None], gaps, t, chunk_bits, count_tbl, st)
-            return st2, None
+    def combine(a, bgrp):
+        ma, fa = a
+        mb, fb = bgrp
+        composed = jnp.take_along_axis(mb, ma, axis=-1)
+        return jnp.where(fb[:, None] > 0, mb, composed), fa | fb
 
-        def zeros_a(dt):
-            return jnp.zeros((nc, GAPS), dtype=dt)
-
-        st_a = (zeros_a(jnp.uint32), zeros_a(jnp.int32), zeros_a(jnp.uint32),
-                zeros_a(jnp.int32), zeros_a(jnp.bool_), zeros_a(jnp.int32),
-                zeros_a(jnp.int32))
-        (_, _, _, _, _, cnt_map, exit_map), _ = jax.lax.scan(
-            body_a, st_a, (t_axis, tiles), unroll=4)
-
-    # ---- chain: true entry gap per chunk via prefix function composition ----
     if nc > 1:
-        prefix = jax.lax.associative_scan(
-            lambda a, b: jnp.take_along_axis(b, a, axis=-1), exit_map, axis=0)
-        entry = jnp.concatenate([
-            jnp.zeros(1, dtype=exit_map.dtype),
-            prefix[:-1, 0],
-        ]).astype(jnp.int32)
+        pmaps, _ = jax.lax.associative_scan(combine, (maps, flags), axis=0)
+        prev = jnp.concatenate([jnp.zeros(1, jnp.int32), pmaps[:-1, 0]])
     else:
-        entry = jnp.zeros(1, dtype=jnp.int32)
+        prev = jnp.zeros(1, jnp.int32)
+    entry = jnp.where(seg_start, 0, prev).astype(jnp.int32)
 
-    counts_sel = jnp.take_along_axis(cnt_map, entry[:, None], axis=-1)[:, 0]
-    out_off = jnp.cumsum(counts_sel) - counts_sel  # exclusive
+    counts_sel = jnp.take_along_axis(cnt_map, entry[None, :], axis=0)[0]
+    g = jnp.cumsum(counts_sel)
+    ex = g - counts_sel  # exclusive global cumsum
+    out_off = ex - ex[seg_start_idx]  # exclusive cumsum within each block
 
-    # ---- phase B: winning lane per chunk, with emission ----
-    if use_pallas:
-        from . import pallas_decode
-
-        idxs = pallas_decode.phase_b(tiles, count_rows, entry[None, :],
-                                     chunk_bits=chunk_bits, interpret=False)
+    if _use_pallas_decode():
+        idxs = pallas_decode.phase_b(
+            tiles, count_t, entry, chunk_bits=chunk_bits, maxl=maxl,
+            interpret=False)
     else:
-        def body_b(st, xs):
-            t, bits_row = xs
-            return _fsm_step(bits_row, entry, t, chunk_bits, count_tbl, st)
+        idxs = pallas_decode.phase_b_scan(
+            tiles, count_t, entry, chunk_bits=chunk_bits, maxl=maxl)
 
-        z_b = jnp.zeros((nc,), dtype=jnp.int32)
-        st_b = (jnp.zeros((nc,), dtype=jnp.uint32), z_b,
-                jnp.zeros((nc,), dtype=jnp.uint32), z_b, z_b.astype(bool), z_b, z_b)
-        _, idxs = jax.lax.scan(body_b, st_b, (t_axis, tiles), unroll=4)
-    idxs = idxs.T  # (nc, steps) canonical table indices or -1
     valid = idxs >= 0
-    local_idx = jnp.cumsum(valid.astype(jnp.int32), axis=-1) - 1
-    global_idx = out_off[:, None] + local_idx
+    local = jnp.cumsum(valid.astype(jnp.int32), axis=0) - valid  # exclusive
+    within = out_off[None, :] + local
+    keep = valid & (within < n[seg_id][None, :])
+    flat_cap = b * nmax
+    target = jnp.where(keep, seg_id[None, :] * nmax + within, flat_cap)
 
-    syms = sym_tbl[jnp.clip(idxs, 0, ALPHABET - 1)].astype(jnp.uint8)  # one bulk gather
-    nout = nc * chunk_bits
-    target = jnp.where(valid & (global_idx < n), global_idx, nout)
-    out = jnp.zeros(nout + 1, dtype=jnp.uint8)
-    out = out.at[target.reshape(-1)].set(syms.reshape(-1), mode="drop")
-    return out[:nout]
+    out = jnp.zeros(flat_cap + 1, dtype=jnp.int32)
+    out = out.at[target.reshape(-1)].set(idxs.reshape(-1), mode="drop")
+    cidx = out[:flat_cap].reshape(b, nmax)
+    # canonical index -> symbol, per block (pad rows read sym_tbl[b][0]: masked
+    # downstream by n)
+    amax = sym_tbl.shape[1] - 1
+    codes = jnp.take_along_axis(sym_tbl, jnp.clip(cidx, 0, amax), axis=1)
+    return codes.astype(jnp.int32)

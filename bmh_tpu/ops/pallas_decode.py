@@ -1,18 +1,32 @@
 """Pallas TPU kernels for the gap-decode canonical Huffman FSM.
 
-The XLA lax.scan formulation pays per-step loop overhead and streams its
-lane state through HBM on every one of chunk_bits+32 steps.  Here the whole
-FSM runs inside one kernel: bit tiles and lane state live in VMEM, the
-per-step body is pure VPU work (the canonical tables are carried as
-recurrences, with only the 32-entry count table needing an unrolled select),
-and the only HBM traffic is the initial tile load and final state store.
+Replaces the reference's bit-at-a-time tree-walk decoder
+(/root/reference/main.cpp:259-281, io_utilities.h:57-66) — a hashmap probe
+per bit — with a branch-free canonical FSM over a *flattened* chunk axis:
+all chunks of all blocks in a batch share one (steps, NC) bit-tile array, so
+no per-block padding waste and one kernel launch decodes a whole batch.
+
+State layout is (GAPS, TILE) int32 — lane dim = chunks (multiple of 128),
+sublane dim = the 32 speculative entry gaps — and lives in VMEM scratch
+refs, not fori_loop carries (large loop-carried vector tuples fail Mosaic
+scf.for legalization; scratch loads/stores do not).
+
+The FSM carries a slim recurrence instead of (value, first, offset) planes:
+with r = val - first[len] and c = count[len], canonical-code identities give
+
+    r' = 2*(r - c) + bit        (append one bit)
+    complete  <=>  0 <= r' < count[len+1]
+    emitted canonical index = offset[len+1] + r'   (offset carried as o+c)
+
+so phase A needs 5 planes (r, len, c, cnt, exit) and phase B 5
+(r, len, c, o, done).  Only count[len+1] needs a table lookup — an unrolled
+compare-select over lengths 1..maxl (maxl static, padded to 8).
 
 Two kernels mirror ops.huffman.gap_decode's phases:
-  * phase A: all (chunk, gap) lanes -> exit-gap map + symbol counts
+  * phase A: all (gap, chunk) lanes -> exit-gap map + symbol counts
   * phase B: the winning lane per chunk -> per-step emitted table indices
 
-Grid iterates over chunk tiles so NC can exceed one VMEM block.  Off-TPU
-the kernels run in interpret mode (CPU unit suite).
+Off-TPU the kernels run in interpret mode (CPU unit suite).
 """
 
 from __future__ import annotations
@@ -26,7 +40,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 GAPS = 32
 MAX_LEN = 31
-TILE_NC = 512  # chunks per grid step; lanes per step = TILE_NC * GAPS
+AMAX = 256  # canonical-index clip ceiling (257-symbol RLE0 alphabet)
+TILE_A = 1024   # chunks per phase-A grid step (lanes = 32 gaps x TILE_A)
+TILE_B = 128    # phase-B lane-tile; 8 sublane rows x TILE_B chunks per step
+CHUNK_ALIGN = 8 * TILE_B  # callers pad NC to this (also a TILE_A divisor)
 
 
 def _on_tpu() -> bool:
@@ -36,131 +53,215 @@ def _on_tpu() -> bool:
         return False
 
 
-def _count_select(ln_n, count_rows):
-    """cnt[c, g] = count_rows[c, ln_n[c, g]] via unrolled compare-select."""
-    acc = jnp.zeros_like(ln_n)
-    for l in range(1, MAX_LEN + 1):
-        acc = acc + jnp.where(ln_n == l, count_rows[:, l][:, None], 0)
+def _count_at(ln, count_rows, maxl: int):
+    """count_rows[ln[...], lane] via unrolled compare-select (no gathers).
+
+    count_rows: (32, *lane_shape) int32; ln: (*state_shape) broadcastable
+    against lane shape.  maxl bounds the unroll: count rows above maxl are
+    zero for any valid table, so lanes with ln > maxl read 0 (never
+    complete, reset via overflow) — identical behaviour, fewer selects.
+    """
+    acc = jnp.zeros_like(ln)
+    for l in range(1, maxl + 1):
+        acc = acc + jnp.where(ln == l, count_rows[l], 0)
     return acc
 
 
-def _fsm_body(bit, start_gap, t, chunk_bits, count_rows, st):
-    """Identical transition to ops.huffman._fsm_step, VMEM-resident."""
-    val, ln, f, o, done, cnt, exitg = st
-    active = jnp.logical_not(done) & (t >= start_gap)
-
-    val_n = (val << 1) | bit
-    ln_n = ln + 1
-    cnt_l = _count_select(ln_n, count_rows)
-
-    rel = (val_n - f).astype(jnp.int32)
-    complete = (cnt_l > 0) & (rel >= 0) & (rel < cnt_l)
-    overflow = ln_n >= MAX_LEN + 1
-    reset = complete | overflow
-
-    emit_idx = jnp.where(active & complete, jnp.clip(o + rel, 0, 255), -1)
-
-    finish = complete & (t + 1 >= chunk_bits)
-    val2 = jnp.where(active, jnp.where(reset, jnp.uint32(0), val_n), val)
-    ln2 = jnp.where(active, jnp.where(reset, 0, ln_n), ln)
-    f2 = jnp.where(active, jnp.where(reset, jnp.uint32(0),
-                                     (f + cnt_l.astype(jnp.uint32)) << 1), f)
-    o2 = jnp.where(active, jnp.where(reset, 0, o + cnt_l), o)
-    cnt2 = jnp.where(active & complete, cnt + 1, cnt)
-    exit2 = jnp.where(active & finish, t + 1 - chunk_bits, exitg)
-    done2 = done | (active & finish)
-    return (val2, ln2, f2, o2, done2, cnt2, exit2), emit_idx
-
-
-def _phase_a_kernel(tiles_ref, count_ref, cnt_out, exit_out, *, chunk_bits: int):
-    nc = cnt_out.shape[0]
+def _phase_a_kernel(tiles_ref, count_ref, cnt_out, exit_out,
+                    r_s, ln_s, c_s, cnt_s, ex_s, *, chunk_bits: int, maxl: int):
     steps = chunk_bits + GAPS
-    gaps = jax.lax.broadcasted_iota(jnp.int32, (nc, GAPS), 1)
-    count_rows = count_ref[...]
+    t_shape = r_s.shape  # (GAPS, TILE_A)
+    gaps = jax.lax.broadcasted_iota(jnp.int32, t_shape, 0)
+    zero = jnp.zeros(t_shape, jnp.int32)
+    r_s[...] = zero
+    ln_s[...] = zero
+    c_s[...] = zero
+    cnt_s[...] = zero
+    ex_s[...] = zero - 1
 
-    def zeros(dt):
-        return jnp.zeros((nc, GAPS), dtype=dt)
+    def body(t, _):
+        bit = tiles_ref[t, :].reshape(1, t_shape[1])
+        r = r_s[...]
+        ln = ln_s[...]
+        c = c_s[...]
+        active = (ex_s[...] < 0) & (t >= gaps)
 
-    st = (zeros(jnp.uint32), zeros(jnp.int32), zeros(jnp.uint32),
-          zeros(jnp.int32), zeros(jnp.bool_), zeros(jnp.int32), zeros(jnp.int32))
+        r_n = 2 * (r - c) + bit
+        ln_n = ln + 1
+        c_n = _count_at(ln_n, count_ref, maxl)
+        complete = (c_n > 0) & (r_n >= 0) & (r_n < c_n)
+        reset = complete | (ln_n > maxl)
 
-    def body(t, st):
-        bit = tiles_ref[t, :].astype(jnp.uint32)[:, None]
-        st2, _ = _fsm_body(bit, gaps, t, chunk_bits, count_rows, st)
-        return st2
+        r_s[...] = jnp.where(active, jnp.where(reset, 0, r_n), r)
+        ln_s[...] = jnp.where(active, jnp.where(reset, 0, ln_n), ln)
+        c_s[...] = jnp.where(active, jnp.where(reset, 0, c_n), c)
+        fire = active & complete
+        cnt_s[...] = jnp.where(fire, cnt_s[...] + 1, cnt_s[...])
+        ex_s[...] = jnp.where(fire & (t + 1 >= chunk_bits),
+                              t + 1 - chunk_bits, ex_s[...])
+        return 0
 
-    st = jax.lax.fori_loop(0, steps, body, st)
-    cnt_out[...] = st[5]
-    exit_out[...] = st[6]
+    jax.lax.fori_loop(0, steps, body, 0)
+    cnt_out[...] = cnt_s[...]
+    exit_out[...] = jnp.clip(ex_s[...], 0, GAPS - 1)
 
 
-def _phase_b_kernel(tiles_ref, count_ref, entry_ref, idx_out, *, chunk_bits: int):
-    nc = entry_ref.shape[-1]
+def _phase_b_kernel(tiles_ref, count_ref, entry_ref, idx_out,
+                    r_s, ln_s, c_s, o_s, done_s, *, chunk_bits: int, maxl: int):
     steps = chunk_bits + GAPS
-    entry = entry_ref[0, :][:, None]  # (nc, 1): the single winning lane
-    count_rows = count_ref[...]
+    t_shape = r_s.shape  # (8, TILE_B)
+    entry = entry_ref[0, 0]  # (8, TILE_B)
+    zero = jnp.zeros(t_shape, jnp.int32)
+    r_s[...] = zero
+    ln_s[...] = zero
+    c_s[...] = zero
+    o_s[...] = zero
+    done_s[...] = zero
 
-    def zeros(dt):
-        return jnp.zeros((nc, 1), dtype=dt)
+    def body(t, _):
+        bit = tiles_ref[t, 0]
+        r = r_s[...]
+        ln = ln_s[...]
+        c = c_s[...]
+        o = o_s[...]
+        active = (done_s[...] == 0) & (t >= entry)
 
-    st0 = (zeros(jnp.uint32), zeros(jnp.int32), zeros(jnp.uint32),
-           zeros(jnp.int32), zeros(jnp.bool_), zeros(jnp.int32), zeros(jnp.int32))
+        r_n = 2 * (r - c) + bit
+        ln_n = ln + 1
+        c_n = _count_at(ln_n, count_ref[:, 0], maxl)
+        complete = (c_n > 0) & (r_n >= 0) & (r_n < c_n)
+        reset = complete | (ln_n > maxl)
 
-    def body(t, st):
-        bit = tiles_ref[t, :].astype(jnp.uint32)[:, None]
-        st2, emit = _fsm_body(bit, entry, t, chunk_bits, count_rows, st)
-        idx_out[t, :] = emit[:, 0].astype(jnp.int32)
-        return st2
+        fire = active & complete
+        idx_out[t, 0] = jnp.where(fire, jnp.clip(o + r_n, 0, AMAX), -1)
 
-    jax.lax.fori_loop(0, steps, body, st0)
+        r_s[...] = jnp.where(active, jnp.where(reset, 0, r_n), r)
+        ln_s[...] = jnp.where(active, jnp.where(reset, 0, ln_n), ln)
+        c_s[...] = jnp.where(active, jnp.where(reset, 0, c_n), c)
+        o_s[...] = jnp.where(active, jnp.where(reset, 0, o + c_n), o)
+        done_s[...] = jnp.where(fire & (t + 1 >= chunk_bits), 1, done_s[...])
+        return 0
+
+    jax.lax.fori_loop(0, steps, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk_bits", "interpret"))
-def phase_a(tiles, count_rows, *, chunk_bits: int, interpret: bool):
-    """tiles (steps, NC) uint32 bits; count_rows (NC, 32) int32.
-    Returns (cnt_map, exit_map), both (NC, GAPS) int32."""
+@functools.partial(jax.jit, static_argnames=("chunk_bits", "maxl", "interpret"))
+def phase_a(tiles, count_t, *, chunk_bits: int, maxl: int = MAX_LEN,
+            interpret: bool = False):
+    """tiles (steps, NC) int32 bits; count_t (32, NC) int32 per-chunk tables.
+    NC must be a multiple of CHUNK_ALIGN.
+    Returns (cnt_map, exit_map), both (GAPS, NC) int32."""
     steps, nc = tiles.shape
-    tile_nc = min(TILE_NC, nc)
-    assert nc % tile_nc == 0
-    grid = (nc // tile_nc,)
-    out = pl.pallas_call(
-        functools.partial(_phase_a_kernel, chunk_bits=chunk_bits),
+    tile = min(TILE_A, nc)
+    assert nc % tile == 0
+    grid = (nc // tile,)
+    return pl.pallas_call(
+        functools.partial(_phase_a_kernel, chunk_bits=chunk_bits, maxl=maxl),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((steps, tile_nc), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_nc, 32), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((steps, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GAPS, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((tile_nc, GAPS), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_nc, GAPS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GAPS, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GAPS, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
-        out_shape=(jax.ShapeDtypeStruct((nc, GAPS), jnp.int32),
-                   jax.ShapeDtypeStruct((nc, GAPS), jnp.int32)),
+        out_shape=(jax.ShapeDtypeStruct((GAPS, nc), jnp.int32),
+                   jax.ShapeDtypeStruct((GAPS, nc), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((GAPS, tile), jnp.int32) for _ in range(5)],
         interpret=interpret,
-    )(tiles, count_rows)
-    return out
+    )(tiles, count_t)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk_bits", "interpret"))
-def phase_b(tiles, count_rows, entry, *, chunk_bits: int, interpret: bool):
-    """Winning-lane decode: returns (steps, NC) int32 emitted indices or -1.
+@functools.partial(jax.jit, static_argnames=("chunk_bits", "maxl", "interpret"))
+def phase_b(tiles, count_t, entry, *, chunk_bits: int, maxl: int = MAX_LEN,
+            interpret: bool = False):
+    """Winning-lane decode: (steps, NC) int32 emitted canonical indices or -1.
 
-    entry: (1, NC) int32 true entry gaps.
+    entry: (NC,) int32 true entry gaps.  The chunk axis is viewed as
+    (NC/(8*TILE_B), 8, TILE_B) so each grid step drives 8 sublane rows of
+    TILE_B chunks (full-height VPU tiles from a 1-lane-per-chunk problem).
     """
     steps, nc = tiles.shape
-    tile_nc = min(TILE_NC, nc)
-    assert nc % tile_nc == 0
-    grid = (nc // tile_nc,)
+    assert nc % 8 == 0, "pad NC to a multiple of 8 (CHUNK_ALIGN in production)"
+    tile_b = min(TILE_B, nc // 8)
+    ngb = nc // (8 * tile_b)
+    tiles_v = tiles.reshape(steps, ngb, 8, tile_b)
+    count_v = count_t.reshape(GAPS, ngb, 8, tile_b)
+    entry_v = entry.reshape(1, ngb, 8, tile_b)
     out = pl.pallas_call(
-        functools.partial(_phase_b_kernel, chunk_bits=chunk_bits),
-        grid=grid,
+        functools.partial(_phase_b_kernel, chunk_bits=chunk_bits, maxl=maxl),
+        grid=(ngb,),
         in_specs=[
-            pl.BlockSpec((steps, tile_nc), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_nc, 32), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_nc), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((steps, 1, 8, tile_b), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GAPS, 1, 8, tile_b), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, tile_b), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((steps, tile_nc), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((steps, nc), jnp.int32),
+        out_specs=pl.BlockSpec((steps, 1, 8, tile_b), lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((steps, ngb, 8, tile_b), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((8, tile_b), jnp.int32) for _ in range(5)],
         interpret=interpret,
-    )(tiles, count_rows, entry)
-    return out
+    )(tiles_v, count_v, entry_v)
+    return out.reshape(steps, nc)
+
+
+# ---------------------------------------------------------------------------
+# XLA scan fallbacks (CPU / non-TPU backends): same flat interface
+# ---------------------------------------------------------------------------
+
+def phase_a_scan(tiles, count_t, *, chunk_bits: int, maxl: int = MAX_LEN):
+    steps, nc = tiles.shape
+    gaps = jnp.arange(GAPS, dtype=jnp.int32)[:, None]
+
+    def step(carry, bit_row):
+        t, r, ln, c, cnt, ex = carry
+        bit = bit_row[None, :].astype(jnp.int32)
+        active = (ex < 0) & (t >= gaps)
+        r_n = 2 * (r - c) + bit
+        ln_n = ln + 1
+        c_n = _count_at(ln_n, count_t, maxl)  # count_t[l] (nc,) broadcasts
+        complete = (c_n > 0) & (r_n >= 0) & (r_n < c_n)
+        reset = complete | (ln_n > maxl)
+        fire = active & complete
+        r2 = jnp.where(active, jnp.where(reset, 0, r_n), r)
+        ln2 = jnp.where(active, jnp.where(reset, 0, ln_n), ln)
+        c2 = jnp.where(active, jnp.where(reset, 0, c_n), c)
+        cnt2 = jnp.where(fire, cnt + 1, cnt)
+        ex2 = jnp.where(fire & (t + 1 >= chunk_bits), t + 1 - chunk_bits, ex)
+        return (t + 1, r2, ln2, c2, cnt2, ex2), None
+
+    z = jnp.zeros((GAPS, nc), jnp.int32)
+    carry = (jnp.int32(0), z, z, z, z, z - 1)
+    (t, r, ln, c, cnt, ex), _ = jax.lax.scan(step, carry, tiles, unroll=4)
+    return cnt, jnp.clip(ex, 0, GAPS - 1)
+
+
+def phase_b_scan(tiles, count_t, entry, *, chunk_bits: int, maxl: int = MAX_LEN):
+    steps, nc = tiles.shape
+
+    def step(carry, bit_row):
+        t, r, ln, c, o, done = carry
+        bit = bit_row.astype(jnp.int32)
+        active = (done == 0) & (t >= entry)
+        r_n = 2 * (r - c) + bit
+        ln_n = ln + 1
+        c_n = _count_at(ln_n, count_t, maxl)
+        complete = (c_n > 0) & (r_n >= 0) & (r_n < c_n)
+        reset = complete | (ln_n > maxl)
+        fire = active & complete
+        emit = jnp.where(fire, jnp.clip(o + r_n, 0, AMAX), -1)
+        r2 = jnp.where(active, jnp.where(reset, 0, r_n), r)
+        ln2 = jnp.where(active, jnp.where(reset, 0, ln_n), ln)
+        c2 = jnp.where(active, jnp.where(reset, 0, c_n), c)
+        o2 = jnp.where(active, jnp.where(reset, 0, o + c_n), o)
+        done2 = jnp.where(fire & (t + 1 >= chunk_bits), 1, done)
+        return (t + 1, r2, ln2, c2, o2, done2), emit
+
+    z = jnp.zeros((nc,), jnp.int32)
+    carry = (jnp.int32(0), z, z, z, z, z)
+    _, emits = jax.lax.scan(step, carry, tiles, unroll=4)
+    return emits  # (steps, nc)

@@ -1,0 +1,97 @@
+"""TPU-native RLE0: zero-run coding of the MTF stream (bzip2-style RUNA/RUNB).
+
+Maximal runs of MTF code 0 are rewritten in bijective base 2 over run symbols
+RUNA=0 / RUNB=1 (run length r = sum of (1+b_i)*2^i, digits LSB-first); every
+non-zero MTF code c becomes symbol c+1, so the Huffman alphabet is 257.  The
+post-BWT/MTF stream is zero-dominated; plain Huffman pays >= 1 bit per zero
+while RLE0 pays ~log2(r) bits per run — this is how the codec's compressed
+sizes strictly beat the reference's (/root/reference/README.md:19-36), which
+has no run stage at all.
+
+Both directions are parallel scan/gather formulations: a run's length is
+recovered per position from the distance between its start (running max of
+run-start positions) and the next non-zero; digit validity and values are
+pure bit arithmetic; stream compaction is a single scatter.  Sequential
+semantics live in models/oracle.py (rle0/rle0_inverse), the unit-test judge.
+
+All shapes static: (Nmax,) padded arrays with traced true lengths.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+RLE_ALPHABET = 257
+MAX_LOG = 26  # supports runs (and blocks) up to 2**26
+
+
+def _floor_log2_p1(r: jax.Array) -> jax.Array:
+    """floor(log2(r+1)) for r >= 0, elementwise, via unrolled compares."""
+    rp = r + 1
+    d = jnp.zeros_like(r)
+    for k in range(1, MAX_LOG + 1):
+        d = d + (rp >= (1 << k)).astype(r.dtype)
+    return d
+
+
+def rle0_encode(codes: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """MTF codes -> RLE0 symbols.
+
+    codes: (Nmax,) uint8, first n valid.  Returns (syms (Nmax,) int32 with
+    values in [0, 256], m int32 = true symbol count).  Positions >= m are 0.
+    """
+    nmax = codes.shape[0]
+    pos = jnp.arange(nmax, dtype=jnp.int32)
+    valid = pos < n
+    c = codes.astype(jnp.int32)
+    z = (c == 0) & valid
+    z_prev = jnp.concatenate([jnp.zeros(1, bool), z[:-1]])
+    run_start = z & jnp.logical_not(z_prev)
+
+    start_pos = jax.lax.cummax(jnp.where(run_start, pos, -1))
+    # next non-zero-or-invalid position at/after i (runs end at n too)
+    nz = jnp.logical_not(z)
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(nz, pos, nmax))))
+
+    r = nxt - start_pos            # run length, valid on zero positions
+    j = pos - start_pos            # index within the run
+    d = _floor_log2_p1(r)          # digit count
+    bits = r + 1 - (jnp.int32(1) << d)
+    b = (bits >> j) & 1            # j-th digit value (0=RUNA, 1=RUNB)
+
+    emit = valid & jnp.where(z, j < d, True)
+    sym = jnp.where(z, b, c + 1)
+    out_idx = jnp.cumsum(emit.astype(jnp.int32)) - emit
+    m = jnp.sum(emit.astype(jnp.int32))
+
+    target = jnp.where(emit, out_idx, nmax)
+    out = jnp.zeros(nmax + 1, dtype=jnp.int32)
+    out = out.at[target].set(sym, mode="drop")
+    return out[:nmax], m
+
+
+def rle0_decode(syms: jax.Array, m: jax.Array, n: jax.Array) -> jax.Array:
+    """RLE0 symbols -> MTF codes.
+
+    syms: (Nmax,) int32 in [0, 256], first m valid; n = decoded length.
+    Returns (Nmax,) uint8 (zeros are the scatter fill — runs cost nothing).
+    """
+    nmax = syms.shape[0]
+    pos = jnp.arange(nmax, dtype=jnp.int32)
+    valid = pos < m
+    s = syms.astype(jnp.int32)
+    isrun = (s <= 1) & valid
+    prev = jnp.concatenate([jnp.zeros(1, bool), isrun[:-1]])
+    grp_start = isrun & jnp.logical_not(prev)
+    start_pos = jax.lax.cummax(jnp.where(grp_start, pos, -1))
+    j = pos - start_pos
+
+    contrib = jnp.where(valid, jnp.where(isrun, (1 + s) << j, 1), 0)
+    out_pos = jnp.cumsum(contrib) - contrib  # exclusive
+
+    lit = valid & jnp.logical_not(isrun)
+    target = jnp.where(lit & (out_pos < n), out_pos, nmax)
+    out = jnp.zeros(nmax + 1, dtype=jnp.int32)
+    out = out.at[target].set(s - 1, mode="drop")
+    return out[:nmax].astype(jnp.uint8)

@@ -58,7 +58,9 @@ def compress_stream(data: bytes | np.ndarray, block_size: int, backend) -> bytes
     for (i, _), r in zip(mine, results):
         present = r["freqs"] > 0
         local_packed[i] = container.pack_block(r["orig_len"], r["shift"], r["lens"],
-                                               present, r["payload"])
+                                               present, r["payload"],
+                                               cps=r.get("cps", ()),
+                                               rle_len=r["rle_len"])
 
     if pcount == 1:
         packed = [local_packed[i] for i in range(len(blocks))]

@@ -18,15 +18,27 @@ def _env_str(name: str, default: str) -> str:
     return os.environ.get(name, default)
 
 
+def _env_bool(name: str, default: bool) -> bool:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v not in ("0", "false", "False", "")
+
+
 @dataclass
 class CodecConfig:
     """Knobs for the block codec and its device pipeline."""
 
     block_size: int = field(default_factory=lambda: _env_int("BMH_BLOCK_SIZE", 1 << 20))
     mtf_chunk: int = field(default_factory=lambda: _env_int("BMH_MTF_CHUNK", 128))
-    decode_chunk_bits: int = field(default_factory=lambda: _env_int("BMH_DECODE_CHUNK_BITS", 2048))
+    decode_chunk_bits: int = field(default_factory=lambda: _env_int("BMH_DECODE_CHUNK_BITS", 512))
     backend: str = field(default_factory=lambda: _env_str("BMH_BACKEND", "jax"))
     min_bucket: int = field(default_factory=lambda: _env_int("BMH_MIN_BUCKET", 256))
+    # kernel routing: the Pallas gap-decode kernels (on TPU) and the Pallas
+    # bitonic sort (off by default: XLA's sort measured ~2x faster at the
+    # production 128K-1M block sizes on v5e)
+    pallas_decode: bool = field(default_factory=lambda: _env_bool("BMH_PALLAS_DECODE", True))
+    pallas_sort: bool = field(default_factory=lambda: _env_bool("BMH_PALLAS_SORT", False))
 
     def validate(self) -> "CodecConfig":
         if self.block_size < 1:

@@ -21,14 +21,23 @@ without parsing:
     blocks, concatenated:
         orig_len   u32  uncompressed length of this block (<= block_size)
         bwt_shift  u32  sorted position of rotation 0
-        bitmap     32 B present-symbol bitmap (bit s = byte s>>3, bit s&7)
+        n_cps      u16  inverse-walk checkpoint count; 0xFFFF = periodic
+                   block (no checkpoints valid — decoder must fall back to
+                   a sequential-equivalent inverse)
+        rle_len    u32  RLE0 symbol count (the Huffman-coded stream length;
+                   <= orig_len since zero runs collapse)
+        cps        n_cps x u32 — rank[(j*CURSOR_STRIDE) % n] for j=1..n_cps,
+                   the parallel-iBWT cursor starts (ops/bwt.py)
+        bitmap     33 B present-symbol bitmap over the 257-symbol RLE0
+                   alphabet (bit s = byte s>>3, bit s&7)
         lens       ceil(5*S/8) B — 5-bit code lengths of the S present
                    symbols in ascending symbol order, MSB-first
         payload    ceil(total_bits/8) B — MSB-first canonical Huffman bits
 
 The code-length table replaces the reference's 10-bit-per-symbol tree
-serialisation: 32 + ceil(5S/8) bytes vs ceil((10S-1)/8), smaller for every S,
-so `.bzt` files are <= the reference `.bzap` size for the single-block case.
+serialisation: 33 + ceil(5S/8) bytes vs ceil((10S-1)/8) — and the RLE0 run
+stage (absent in the reference) more than repays the bitmap/checkpoint
+overhead, so `.bzt` files undercut the reference `.bzap` sizes.
 A block whose 256-bin histogram has exactly one present symbol stores that
 symbol's length as 0 and an empty payload.  An empty input stream is a valid
 file with n_blocks == 0.
@@ -41,12 +50,14 @@ import struct
 import numpy as np
 
 MAGIC = b"BZT1"
-VERSION = 1
+VERSION = 2
 FLAG_STREAMING = 0x01  # blocks are u32-length-prefixed; no up-front table
+FLAG_CRC32 = 0x02      # u32 IEEE CRC of the block region follows the table
 FILE_HEADER = struct.Struct("<4sBBHIIQ")
-BLOCK_HEADER = struct.Struct("<II")
-ALPHABET = 256
-BITMAP_BYTES = ALPHABET // 8
+BLOCK_HEADER = struct.Struct("<IIHI")
+PERIODIC_SENTINEL = 0xFFFF  # n_cps value marking a periodic block
+ALPHABET = 257  # RLE0 alphabet: RUNA, RUNB, MTF codes 1..255 shifted (+1)
+BITMAP_BYTES = (ALPHABET + 7) // 8
 DEFAULT_BLOCK_SIZE = 1 << 20
 
 
@@ -57,7 +68,7 @@ def pack_lens(lens: np.ndarray, present: np.ndarray) -> bytes:
     native = nativeio.pack_lens(lens, present)
     if native is not None:
         return native
-    bitmap = bytearray(BITMAP_BYTES)
+    bitmap = bytearray((np.asarray(lens).size + 7) // 8)
     for s in np.nonzero(present)[0]:
         bitmap[s >> 3] |= 1 << (s & 7)
     syms = np.nonzero(present)[0]
@@ -74,10 +85,10 @@ def pack_lens(lens: np.ndarray, present: np.ndarray) -> bytes:
 
 
 def unpack_lens(buf: bytes, off: int) -> tuple[np.ndarray, np.ndarray, int]:
-    """Returns (lens (256,) uint8, present mask (256,) bool, new offset)."""
+    """Returns (lens (A,) uint8, present mask (A,) bool, new offset)."""
     from . import nativeio
 
-    native = nativeio.unpack_lens(buf, off)
+    native = nativeio.unpack_lens(buf, off, ALPHABET)
     if native is not None:
         return native
     bitmap = buf[off:off + BITMAP_BYTES]
@@ -103,22 +114,62 @@ def unpack_lens(buf: bytes, off: int) -> tuple[np.ndarray, np.ndarray, int]:
 
 
 def pack_block(orig_len: int, bwt_shift: int, lens: np.ndarray,
-               present: np.ndarray, payload: bytes) -> bytes:
-    head = BLOCK_HEADER.pack(orig_len, bwt_shift)
-    return head + pack_lens(lens, present) + payload
+               present: np.ndarray, payload: bytes,
+               cps: np.ndarray | None = (), rle_len: int = 0) -> bytes:
+    """cps: iBWT cursor checkpoints (possibly empty); None marks a periodic
+    block whose checkpoints are undefined (decoder falls back).
+    rle_len: RLE0 symbol count of the Huffman stream."""
+    if cps is None:
+        head = BLOCK_HEADER.pack(orig_len, bwt_shift, PERIODIC_SENTINEL, rle_len)
+        cp_bytes = b""
+    else:
+        cps = np.asarray(cps, dtype=np.uint32)
+        if cps.size >= PERIODIC_SENTINEL:
+            raise ValueError(f"too many checkpoints ({cps.size}); shrink the block")
+        head = BLOCK_HEADER.pack(orig_len, bwt_shift, cps.size, rle_len)
+        cp_bytes = cps.astype("<u4").tobytes()
+    return head + cp_bytes + pack_lens(lens, present) + payload
 
 
-def unpack_block(buf: bytes) -> tuple[int, int, np.ndarray, np.ndarray, bytes]:
-    """Returns (orig_len, bwt_shift, lens, present, payload)."""
-    orig_len, bwt_shift = BLOCK_HEADER.unpack_from(buf, 0)
-    lens, present, off = unpack_lens(buf, BLOCK_HEADER.size)
-    return orig_len, bwt_shift, lens, present, buf[off:]
+def unpack_block(buf: bytes) -> tuple[int, int, np.ndarray, np.ndarray,
+                                      np.ndarray | None, int, bytes]:
+    """Returns (orig_len, bwt_shift, lens, present, cps, rle_len, payload).
+
+    cps is None for a periodic block (decoder must not use cursor starts).
+    """
+    orig_len, bwt_shift, n_cps, rle_len = BLOCK_HEADER.unpack_from(buf, 0)
+    off = BLOCK_HEADER.size
+    if n_cps == PERIODIC_SENTINEL:
+        cps = None
+    else:
+        cps = np.frombuffer(buf, dtype="<u4", count=n_cps, offset=off).astype(np.int32)
+        off += 4 * n_cps
+    lens, present, off = unpack_lens(buf, off)
+    return orig_len, bwt_shift, lens, present, cps, rle_len, buf[off:]
 
 
-def pack_file(blocks: list[bytes], block_size: int, total_size: int) -> bytes:
-    header = FILE_HEADER.pack(MAGIC, VERSION, 0, 0, block_size, len(blocks), total_size)
+def _crc32(data: bytes) -> int:
+    from . import nativeio
+
+    c = nativeio.crc32(data)
+    if c is None:
+        import zlib
+
+        c = zlib.crc32(data) & 0xFFFFFFFF
+    return c
+
+
+def pack_file(blocks: list[bytes], block_size: int, total_size: int,
+              crc: bool = True) -> bytes:
+    """crc=True appends a u32 IEEE CRC of the block region (integrity check
+    the reference has no analogue of — its only failure mode is UB)."""
+    flags = FLAG_CRC32 if crc else 0
+    header = FILE_HEADER.pack(MAGIC, VERSION, flags, 0, block_size,
+                              len(blocks), total_size)
     table = struct.pack(f"<{len(blocks)}I", *(len(b) for b in blocks))
-    return header + table + b"".join(blocks)
+    body = b"".join(blocks)
+    trailer = struct.pack("<I", _crc32(body)) if crc else b""
+    return header + table + trailer + body
 
 
 def unpack_file(buf: bytes) -> tuple[int, int, list[bytes]]:
@@ -148,6 +199,15 @@ def unpack_file(buf: bytes) -> tuple[int, int, list[bytes]]:
         raise ValueError("truncated .bzt file: block table incomplete")
     sizes = struct.unpack_from(f"<{n_blocks}I", buf, off)
     off += 4 * n_blocks
+    if flags & FLAG_CRC32:
+        if len(buf) < off + 4:
+            raise ValueError("truncated .bzt file: missing CRC trailer")
+        (want_crc,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        if len(buf) < off + sum(sizes):
+            raise ValueError("truncated .bzt file: block data incomplete")
+        if _crc32(buf[off:off + sum(sizes)]) != want_crc:
+            raise ValueError("corrupt .bzt file: block CRC mismatch")
     if len(buf) < off + sum(sizes):
         raise ValueError("truncated .bzt file: block data incomplete")
     blocks = []
@@ -155,6 +215,19 @@ def unpack_file(buf: bytes) -> tuple[int, int, list[bytes]]:
         blocks.append(buf[off:off + sz])
         off += sz
     return block_size, total_size, blocks
+
+
+def header_bytes(buf: bytes) -> int:
+    """Total non-payload (metadata) bytes of a .bzt container.
+
+    The reference prints `header size:` per file (main.cpp:319-321) = its
+    24-byte fixed header + serialized tree; the analogue here is everything
+    except the Huffman payload bits: file header, block table, per-block
+    headers, checkpoints, and code-length tables.
+    """
+    _, _, raw_blocks = unpack_file(buf)
+    payload = sum(len(unpack_block(raw)[6]) for raw in raw_blocks)
+    return len(buf) - payload
 
 
 def split_blocks(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK_SIZE) -> list[np.ndarray]:

@@ -65,9 +65,11 @@ def describe_container(buf: bytes) -> str:
     lines = [f".bzt: {len(buf)} bytes, {len(raw_blocks)} block(s), "
              f"block_size {block_size}, original {total_size} bytes"]
     for i, raw in enumerate(raw_blocks):
-        orig_len, shift, lens, present, payload = container.unpack_block(raw)
+        orig_len, shift, lens, present, cps, rle_len, payload = container.unpack_block(raw)
+        ncp = "periodic" if cps is None else len(cps)
         lines.append(
             f"  block {i}: orig {orig_len} B, shift {shift}, "
             f"{int(np.count_nonzero(present))} symbols, "
-            f"max len {int(lens.max())}, payload {len(payload)} B")
+            f"max len {int(lens.max())}, checkpoints {ncp}, "
+            f"payload {len(payload)} B")
     return "\n".join(lines)

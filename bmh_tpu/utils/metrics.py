@@ -16,7 +16,7 @@ def metrics_line(file_name: str, initial_data_size: int, encoded_file_size: int,
                  header_size: int | None = None, seconds: float | None = None) -> str:
     parts = []
     if header_size is not None:
-        parts.append(f"header size: {float(header_size)}")
+        parts.append(f"header size: {int(header_size)}")
     parts += [
         f"file_name: {file_name}",
         f"initial_data_size: {initial_data_size}",

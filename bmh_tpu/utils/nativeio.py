@@ -37,14 +37,15 @@ def _load() -> ctypes.CDLL | None:
     except OSError:
         return None
     lib.bmh_code_lengths.restype = ctypes.c_int
-    lib.bmh_code_lengths.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.bmh_code_lengths.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
     lib.bmh_canonical_codes.restype = ctypes.c_int
-    lib.bmh_canonical_codes.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.bmh_canonical_codes.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
     lib.bmh_pack_lens.restype = ctypes.c_int
-    lib.bmh_pack_lens.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.bmh_pack_lens.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                                  ctypes.c_int]
     lib.bmh_unpack_lens.restype = ctypes.c_int
     lib.bmh_unpack_lens.argtypes = [ctypes.c_void_p, ctypes.c_int,
-                                    ctypes.c_void_p, ctypes.c_void_p]
+                                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
     lib.bmh_compare_files.restype = ctypes.c_int
     lib.bmh_compare_files.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
     lib.bmh_crc32.restype = ctypes.c_uint32
@@ -62,8 +63,8 @@ def code_lengths(freqs: np.ndarray) -> np.ndarray | None:
     if lib is None:
         return None
     f = np.ascontiguousarray(freqs, dtype=np.int64)
-    out = np.zeros(256, dtype=np.uint8)
-    r = lib.bmh_code_lengths(f.ctypes.data, out.ctypes.data)
+    out = np.zeros(f.size, dtype=np.uint8)
+    r = lib.bmh_code_lengths(f.ctypes.data, out.ctypes.data, f.size)
     if r < 0:
         raise ValueError("Huffman depth exceeds 31; shrink the block")
     return out
@@ -74,8 +75,8 @@ def canonical_codes(lens: np.ndarray) -> np.ndarray | None:
     if lib is None:
         return None
     l = np.ascontiguousarray(lens, dtype=np.uint8)
-    out = np.zeros(256, dtype=np.uint32)
-    lib.bmh_canonical_codes(l.ctypes.data, out.ctypes.data)
+    out = np.zeros(l.size, dtype=np.uint32)
+    lib.bmh_canonical_codes(l.ctypes.data, out.ctypes.data, l.size)
     return out
 
 
@@ -85,20 +86,22 @@ def pack_lens(lens: np.ndarray, present: np.ndarray) -> bytes | None:
         return None
     l = np.ascontiguousarray(lens, dtype=np.uint8)
     p = np.ascontiguousarray(present, dtype=np.uint8)
-    out = np.zeros(192, dtype=np.uint8)
-    n = lib.bmh_pack_lens(l.ctypes.data, p.ctypes.data, out.ctypes.data)
+    a = l.size
+    out = np.zeros((a + 7) // 8 + (5 * a + 7) // 8, dtype=np.uint8)
+    n = lib.bmh_pack_lens(l.ctypes.data, p.ctypes.data, out.ctypes.data, a)
     return out[:n].tobytes()
 
 
-def unpack_lens(buf: bytes, off: int) -> tuple[np.ndarray, np.ndarray, int] | None:
+def unpack_lens(buf: bytes, off: int, alphabet: int = 257
+                ) -> tuple[np.ndarray, np.ndarray, int] | None:
     lib = _load()
     if lib is None:
         return None
     view = np.frombuffer(buf, dtype=np.uint8)
-    lens = np.zeros(256, dtype=np.uint8)
-    present = np.zeros(256, dtype=np.uint8)
+    lens = np.zeros(alphabet, dtype=np.uint8)
+    present = np.zeros(alphabet, dtype=np.uint8)
     n = lib.bmh_unpack_lens(view.ctypes.data + off, view.size - off,
-                            lens.ctypes.data, present.ctypes.data)
+                            lens.ctypes.data, present.ctypes.data, alphabet)
     if n < 0:
         raise ValueError("truncated code-length table")
     return lens, present.astype(bool), off + n

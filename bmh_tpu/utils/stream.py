@@ -120,7 +120,8 @@ def compress_file_resumable(in_path: str, out_path: str,
         r = be.compress_blocks([blk])[0]
         present = r["freqs"] > 0
         sc.append(container.pack_block(r["orig_len"], r["shift"], r["lens"],
-                                       present, r["payload"]))
+                                       present, r["payload"], cps=r.get("cps", ()),
+                                       rle_len=r["rle_len"]))
     sc.finalize(data.size)
     return {"blocks": len(blocks), "resumed_from": resumed_from,
             "encoded_file_size": os.path.getsize(out_path)}

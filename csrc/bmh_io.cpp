@@ -9,12 +9,12 @@
 // container framing dominate Python-side time, so they live here behind a
 // C ABI loaded via ctypes (no pybind11 in this image).
 //
-// C ABI contract (all little-endian, caller owns buffers):
-//   bmh_code_lengths(freqs[256] i64, lens_out[256] u8)        -> max_len or -1
-//   bmh_canonical_codes(lens[256] u8, codes_out[256] u32)     -> 0
-//   bmh_pack_lens(lens[256] u8, out[192] u8)                  -> packed bytes
-//   bmh_unpack_lens(buf u8*, buflen, lens_out[256] u8)        -> consumed or -1
-//   bmh_pack_container: write header+table+blocks to path     -> 0 or -1
+// C ABI contract (all little-endian, caller owns buffers; `a` = alphabet
+// size, 256 plain or 257 under RLE0, <= 512):
+//   bmh_code_lengths(freqs[a] i64, lens_out[a] u8, a)         -> max_len or -1
+//   bmh_canonical_codes(lens[a] u8, codes_out[a] u32, a)      -> 0
+//   bmh_pack_lens(lens[a] u8, present[a] u8, out, a)          -> packed bytes
+//   bmh_unpack_lens(buf u8*, buflen, lens_out, present_out, a)-> consumed or -1
 //   bmh_compare_files(p1, p2)                                 -> 1 equal, 0 not, -1 err
 //   bmh_crc32(buf, len)                                       -> crc
 
@@ -24,7 +24,7 @@
 
 namespace {
 
-constexpr int kAlphabet = 256;
+constexpr int kMaxAlphabet = 512;
 constexpr int kMaxLen = 31;
 
 }  // namespace
@@ -35,17 +35,18 @@ extern "C" {
 // histogram.  Semantics match bmh_tpu.ops.huffman.code_lengths_from_hist
 // (both optimal; equal total bits).  Returns max length, 0 if <=1 symbol,
 // -1 if depth would exceed kMaxLen.
-int bmh_code_lengths(const int64_t* freqs, uint8_t* lens_out) {
-  int syms[kAlphabet];
+int bmh_code_lengths(const int64_t* freqs, uint8_t* lens_out, int alphabet) {
+  if (alphabet < 1 || alphabet > kMaxAlphabet) return -1;
+  int syms[kMaxAlphabet];
   int s = 0;
-  for (int i = 0; i < kAlphabet; ++i) {
+  for (int i = 0; i < alphabet; ++i) {
     lens_out[i] = 0;
     if (freqs[i] > 0) syms[s++] = i;
   }
   if (s <= 1) return 0;
 
-  // stable sort leaves by (freq, symbol) — insertion sort is fine for 256
-  int order[kAlphabet];
+  // stable sort leaves by (freq, symbol) — insertion sort is fine here
+  int order[kMaxAlphabet];
   for (int i = 0; i < s; ++i) order[i] = syms[i];
   for (int i = 1; i < s; ++i) {
     int v = order[i];
@@ -58,15 +59,15 @@ int bmh_code_lengths(const int64_t* freqs, uint8_t* lens_out) {
     order[j + 1] = v;
   }
 
-  int64_t weight[2 * kAlphabet];
-  int parent[2 * kAlphabet];
+  int64_t weight[2 * kMaxAlphabet];
+  int parent[2 * kMaxAlphabet];
   for (int i = 0; i < s; ++i) {
     weight[i] = freqs[order[i]];
     parent[i] = -1;
   }
   // two queues: q1 = leaves [q1h, s), q2 = merged nodes [q2h, q2t)
   int q1h = 0;
-  int q2buf[kAlphabet];
+  int q2buf[kMaxAlphabet];
   int q2h = 0, q2t = 0;
   int next_id = s;
   for (int m = 0; m < s - 1; ++m) {
@@ -86,7 +87,7 @@ int bmh_code_lengths(const int64_t* freqs, uint8_t* lens_out) {
     ++next_id;
   }
   int total = 2 * s - 1;
-  int depth[2 * kAlphabet];
+  int depth[2 * kMaxAlphabet];
   depth[total - 1] = 0;
   int maxd = 0;
   for (int i = total - 2; i >= 0; --i) {  // parents always have larger ids
@@ -99,12 +100,12 @@ int bmh_code_lengths(const int64_t* freqs, uint8_t* lens_out) {
 }
 
 // Canonical code values: symbols ordered by (length, symbol).
-int bmh_canonical_codes(const uint8_t* lens, uint32_t* codes_out) {
-  memset(codes_out, 0, kAlphabet * sizeof(uint32_t));
+int bmh_canonical_codes(const uint8_t* lens, uint32_t* codes_out, int alphabet) {
+  memset(codes_out, 0, alphabet * sizeof(uint32_t));
   uint32_t code = 0;
   int prev = 0;
   for (int l = 1; l <= kMaxLen; ++l) {
-    for (int sym = 0; sym < kAlphabet; ++sym) {
+    for (int sym = 0; sym < alphabet; ++sym) {
       if (lens[sym] != l) continue;
       code <<= (l - prev);
       prev = l;
@@ -115,47 +116,50 @@ int bmh_canonical_codes(const uint8_t* lens, uint32_t* codes_out) {
   return 0;
 }
 
-// Bitmap (32 B) + 5-bit lengths of present symbols, MSB-first.  `out` must
-// hold 32 + 160 = 192 bytes.  Returns bytes written.
-int bmh_pack_lens(const uint8_t* lens, const uint8_t* present, uint8_t* out) {
-  memset(out, 0, 192);
+// Bitmap (ceil(a/8) B) + 5-bit lengths of present symbols, MSB-first.
+// `out` must hold ceil(a/8) + ceil(5a/8) bytes.  Returns bytes written.
+int bmh_pack_lens(const uint8_t* lens, const uint8_t* present, uint8_t* out,
+                  int alphabet) {
+  int bm = (alphabet + 7) / 8;
+  memset(out, 0, static_cast<size_t>(bm + (5 * alphabet + 7) / 8));
   int npresent = 0;
-  for (int sym = 0; sym < kAlphabet; ++sym) {
+  for (int sym = 0; sym < alphabet; ++sym) {
     if (present[sym]) {
       out[sym >> 3] |= static_cast<uint8_t>(1u << (sym & 7));
       ++npresent;
     }
   }
   int bitpos = 0;
-  uint8_t* packed = out + 32;
-  for (int sym = 0; sym < kAlphabet; ++sym) {
+  uint8_t* packed = out + bm;
+  for (int sym = 0; sym < alphabet; ++sym) {
     if (!present[sym]) continue;
     for (int k = 4; k >= 0; --k) {
       if ((lens[sym] >> k) & 1) packed[bitpos >> 3] |= static_cast<uint8_t>(0x80u >> (bitpos & 7));
       ++bitpos;
     }
   }
-  return 32 + (5 * npresent + 7) / 8;
+  return bm + (5 * npresent + 7) / 8;
 }
 
 // Inverse of bmh_pack_lens.  Returns bytes consumed, or -1 on short buffer.
 int bmh_unpack_lens(const uint8_t* buf, int buflen, uint8_t* lens_out,
-                    uint8_t* present_out) {
-  if (buflen < 32) return -1;
-  memset(lens_out, 0, kAlphabet);
-  memset(present_out, 0, kAlphabet);
+                    uint8_t* present_out, int alphabet) {
+  int bm = (alphabet + 7) / 8;
+  if (buflen < bm) return -1;
+  memset(lens_out, 0, alphabet);
+  memset(present_out, 0, alphabet);
   int npresent = 0;
-  for (int sym = 0; sym < kAlphabet; ++sym) {
+  for (int sym = 0; sym < alphabet; ++sym) {
     if ((buf[sym >> 3] >> (sym & 7)) & 1) {
       present_out[sym] = 1;
       ++npresent;
     }
   }
   int nbytes = (5 * npresent + 7) / 8;
-  if (buflen < 32 + nbytes) return -1;
-  const uint8_t* packed = buf + 32;
+  if (buflen < bm + nbytes) return -1;
+  const uint8_t* packed = buf + bm;
   int bitpos = 0;
-  for (int sym = 0; sym < kAlphabet; ++sym) {
+  for (int sym = 0; sym < alphabet; ++sym) {
     if (!present_out[sym]) continue;
     uint8_t v = 0;
     for (int k = 0; k < 5; ++k) {
@@ -164,30 +168,7 @@ int bmh_unpack_lens(const uint8_t* buf, int buflen, uint8_t* lens_out,
     }
     lens_out[sym] = v;
   }
-  return 32 + nbytes;
-}
-
-// Assemble and write a .bzt container in one pass:
-// header(24) + u32 sizes table + concatenated pre-framed blocks.
-int bmh_pack_container(const char* path, uint32_t block_size, uint64_t total_size,
-                       uint32_t n_blocks, const uint8_t* const* blocks,
-                       const uint32_t* sizes) {
-  FILE* f = fopen(path, "wb");
-  if (!f) return -1;
-  uint8_t header[24];
-  memcpy(header, "BZT1", 4);
-  header[4] = 1;  // version
-  header[5] = 0;  // flags
-  header[6] = header[7] = 0;
-  memcpy(header + 8, &block_size, 4);
-  memcpy(header + 12, &n_blocks, 4);
-  memcpy(header + 16, &total_size, 8);
-  if (fwrite(header, 1, 24, f) != 24) { fclose(f); return -1; }
-  if (n_blocks && fwrite(sizes, 4, n_blocks, f) != n_blocks) { fclose(f); return -1; }
-  for (uint32_t i = 0; i < n_blocks; ++i) {
-    if (fwrite(blocks[i], 1, sizes[i], f) != sizes[i]) { fclose(f); return -1; }
-  }
-  return fclose(f) == 0 ? 0 : -1;
+  return bm + nbytes;
 }
 
 // Bit-exact file comparison (native equivalent of the reference's

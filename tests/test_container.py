@@ -7,9 +7,10 @@ from bmh_tpu.utils import container
 
 
 def test_lens_pack_roundtrip(rng):
-    lens = np.zeros(256, dtype=np.uint8)
-    present = np.zeros(256, dtype=bool)
-    syms = rng.choice(256, 100, replace=False)
+    a = container.ALPHABET
+    lens = np.zeros(a, dtype=np.uint8)
+    present = np.zeros(a, dtype=bool)
+    syms = rng.choice(a, 100, replace=False)
     present[syms] = True
     lens[syms] = rng.integers(1, 32, 100)
     buf = container.pack_lens(lens, present)
@@ -41,3 +42,16 @@ def test_api_multiblock_oracle(rng):
     assert decompress_bytes(blob, backend="oracle") == payload
     bs, total, blocks = container.unpack_file(blob)
     assert bs == 1024 and total == 10000 and len(blocks) == 10
+
+
+def test_crc32_integrity_detects_corruption(rng):
+    from bmh_tpu import compress_bytes, decompress_bytes
+
+    blob = compress_bytes(bytes(rng.integers(0, 50, 2000, dtype=np.uint8)),
+                          backend="oracle")
+    bad = bytearray(blob)
+    bad[-3] ^= 0x40  # flip a payload bit
+    import pytest
+
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decompress_bytes(bytes(bad), backend="oracle")

@@ -1,4 +1,4 @@
-"""JAX Huffman encode/decode vs the oracle: tables, bitpack, gap decode."""
+"""JAX Huffman encode/decode vs the oracle: tables, bitpack, flat gap decode."""
 
 import jax
 import jax.numpy as jnp
@@ -7,16 +7,6 @@ import pytest
 
 from bmh_tpu.models import oracle
 from bmh_tpu.ops import huffman as jhuf
-
-
-def make_words(payload: bytes, chunk_bits: int) -> np.ndarray:
-    """Big-endian uint32 words padded to a multiple of chunk_bits."""
-    wbytes = chunk_bits // 8
-    pad = (-len(payload)) % wbytes
-    if len(payload) + pad == 0:
-        pad = wbytes
-    buf = payload + b"\x00" * pad
-    return np.frombuffer(buf, dtype=">u4").astype(np.uint32)
 
 
 def gen_cases(rng):
@@ -29,6 +19,53 @@ def gen_cases(rng):
         np.array([0, 1], dtype=np.uint8),
     ]
     return cases
+
+
+def flat_decode(blocks: list[np.ndarray], chunk_bits: int, nmax: int):
+    """Encode each block with the oracle, decode all via gap_decode_flat."""
+    wbytes = chunk_bits // 8
+    words_parts, spans = [], []
+    tables, ns = [], []
+    maxl = 1
+    for d in blocks:
+        freqs = oracle.histogram(d)
+        lens = jhuf.code_lengths_from_hist(freqs)
+        codes = jhuf.canonical_code_table(lens)
+        payload, tb = oracle.huffman_encode(d, lens, codes)
+        nc_b = max(1, -(-len(payload) // wbytes))
+        buf = payload + b"\x00" * (nc_b * wbytes - len(payload))
+        words_parts.append(np.frombuffer(buf, dtype=">u4").astype(np.uint32))
+        spans.append(nc_b)
+        tables.append(jhuf.decode_tables(lens))
+        ns.append(d.size)
+        maxl = max(maxl, int(lens.max()))
+    nc_true = sum(spans)
+    nc = -(-nc_true // 8) * 8  # flat path needs a multiple of 8 for phase B
+    b = len(blocks)
+    words = np.concatenate(words_parts + [np.zeros((nc - nc_true) * wbytes // 4,
+                                                   np.uint32)])
+    count_t = np.zeros((32, nc), np.int32)
+    seg_id = np.full(nc, b, np.int32)
+    seg_start = np.zeros(nc, bool)
+    seg_start[nc_true:] = True
+    seg_start_idx = np.arange(nc, dtype=np.int32)
+    sym_tbl = np.zeros((b + 1, 256), np.int32)
+    n_arr = np.zeros(b + 1, np.int32)
+    c0 = 0
+    for i, (t, nc_b) in enumerate(zip(tables, spans)):
+        count_t[:, c0:c0 + nc_b] = t["count"][:, None]
+        seg_id[c0:c0 + nc_b] = i
+        seg_start[c0] = True
+        seg_start_idx[c0:c0 + nc_b] = c0
+        sym_tbl[i] = t["sym"]
+        n_arr[i] = ns[i]
+        c0 += nc_b
+    tiles = jhuf.unpack_bit_tiles_flat(jnp.asarray(words), chunk_bits)
+    out = jhuf.gap_decode_flat(tiles, jnp.asarray(count_t), jnp.asarray(seg_start),
+                               jnp.asarray(seg_start_idx), jnp.asarray(seg_id),
+                               jnp.asarray(sym_tbl), jnp.asarray(n_arr),
+                               nmax, chunk_bits, maxl=maxl)
+    return np.asarray(out)
 
 
 def test_code_lengths_match_oracle_totals(rng):
@@ -72,29 +109,17 @@ def test_encode_matches_oracle_bitstream(rng):
 
 
 @pytest.mark.parametrize("chunk_bits", [64, 256, 2048])
-def test_gap_decode_roundtrip(rng, chunk_bits):
-    for data in gen_cases(rng):
-        freqs = oracle.histogram(data)
-        lens = jhuf.code_lengths_from_hist(freqs)
-        if (lens > 0).sum() == 0:
-            continue
-        codes = jhuf.canonical_code_table(lens)
-        payload, total_bits = oracle.huffman_encode(data, lens, codes)
-        words = make_words(payload, chunk_bits)
-        tables = {k: jnp.asarray(v) for k, v in jhuf.decode_tables(lens).items()}
-        out = jhuf.gap_decode(jnp.asarray(words), tables, jnp.int32(data.size),
-                              chunk_bits=chunk_bits)
-        np.testing.assert_array_equal(np.asarray(out)[:data.size], data)
+def test_gap_decode_flat_roundtrip(rng, chunk_bits):
+    blocks = [d for d in gen_cases(rng)
+              if (jhuf.code_lengths_from_hist(oracle.histogram(d)) > 0).sum() > 0]
+    nmax = 8192
+    out = flat_decode(blocks, chunk_bits, nmax)
+    for i, d in enumerate(blocks):
+        np.testing.assert_array_equal(out[i, :d.size], d)
 
 
-def test_gap_decode_long_low_entropy(rng):
+def test_gap_decode_flat_long_low_entropy(rng):
     # long runs after MTF: mostly zeros with 1-bit codes -> max symbols/chunk
     data = (rng.random(20000) < 0.02).astype(np.uint8)
-    freqs = oracle.histogram(data)
-    lens = jhuf.code_lengths_from_hist(freqs)
-    codes = jhuf.canonical_code_table(lens)
-    payload, _ = oracle.huffman_encode(data, lens, codes)
-    words = make_words(payload, 512)
-    tables = {k: jnp.asarray(v) for k, v in jhuf.decode_tables(lens).items()}
-    out = jhuf.gap_decode(jnp.asarray(words), tables, jnp.int32(data.size), chunk_bits=512)
-    np.testing.assert_array_equal(np.asarray(out)[:data.size], data)
+    out = flat_decode([data], 512, 32768)
+    np.testing.assert_array_equal(out[0, :data.size], data)

@@ -47,13 +47,14 @@ def test_canonical_codes_native_matches_python(rng):
 
 
 def test_pack_unpack_lens_native_roundtrip(rng):
-    lens = np.zeros(256, dtype=np.uint8)
-    present = np.zeros(256, dtype=bool)
-    syms = rng.choice(256, 77, replace=False)
+    a = 257  # production RLE0 alphabet
+    lens = np.zeros(a, dtype=np.uint8)
+    present = np.zeros(a, dtype=bool)
+    syms = rng.choice(a, 77, replace=False)
     present[syms] = True
     lens[syms] = rng.integers(1, 32, 77)
     buf = b"\xAA\xBB" + nativeio.pack_lens(lens, present)  # offset test
-    lens2, present2, off = nativeio.unpack_lens(buf, 2)
+    lens2, present2, off = nativeio.unpack_lens(buf, 2, alphabet=a)
     assert off == len(buf)
     np.testing.assert_array_equal(lens, lens2)
     np.testing.assert_array_equal(present, present2)

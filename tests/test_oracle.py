@@ -77,9 +77,11 @@ def test_block_roundtrip(rng):
         if present.sum() == 1:
             sym = int(np.nonzero(present)[0][0])
             back = oracle.decompress_block(r["payload"], r["lens"], r["shift"],
-                                           r["orig_len"], single_symbol=sym)
+                                           r["orig_len"], r["rle_len"],
+                                           single_symbol=sym)
         else:
-            back = oracle.decompress_block(r["payload"], r["lens"], r["shift"], r["orig_len"])
+            back = oracle.decompress_block(r["payload"], r["lens"], r["shift"],
+                                           r["orig_len"], r["rle_len"])
         np.testing.assert_array_equal(back, data)
 
 

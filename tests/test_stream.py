@@ -33,7 +33,9 @@ def test_resume_after_partial(tmp_path, rng):
     for blk in blocks[:2]:
         r = be.compress_blocks([blk])[0]
         sc.append(container.pack_block(r["orig_len"], r["shift"], r["lens"],
-                                       r["freqs"] > 0, r["payload"]))
+                                       r["freqs"] > 0, r["payload"],
+                                       cps=r.get("cps", ()),
+                                       rle_len=r["rle_len"]))
     sc._f.close()  # no finalize: crash
 
     info = stream.compress_file_resumable(str(src), str(out), block_size=2048,
