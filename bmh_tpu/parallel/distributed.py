@@ -98,3 +98,56 @@ def compress_stream(data: bytes | np.ndarray, block_size: int, backend) -> bytes
                 packed_by_id[i] = all_buf[p, row, : int(all_lens[p, row])].tobytes()
     packed = [packed_by_id[i] for i in range(len(blocks))]
     return container.pack_file(packed, block_size, arr.size)
+
+
+def decompress_stream(blob: bytes, backend) -> bytes | None:
+    """Distributed decompress: every process decodes its block stripe.
+
+    All processes must pass the same container bytes (e.g. each read the
+    same file); decoded blocks are ragged-gathered to process 0 in block
+    order.  Returns the stream bytes on process 0, None elsewhere.  With
+    one process this is exactly the local path.
+    """
+    pid, pcount = process_info()
+    block_size, total_size, raw_blocks = container.unpack_file(blob)
+    infos = []
+    for raw in raw_blocks:
+        orig_len, shift, lens, present, cps, rle_len, payload = container.unpack_block(raw)
+        infos.append({"orig_len": orig_len, "shift": shift, "lens": lens,
+                      "present": present, "cps": cps, "rle_len": rle_len,
+                      "payload": payload})
+    mine = [(i, info) for i, info in enumerate(infos) if i % pcount == pid]
+    parts = backend.decompress_blocks([info for _, info in mine])
+
+    if pcount == 1:
+        out = b"".join(p.tobytes() for p in parts)
+        if len(out) != total_size:
+            raise ValueError(f"decoded {len(out)} bytes, expected {total_size}")
+        return out
+
+    from jax.experimental import multihost_utils
+
+    max_count = -(-len(infos) // pcount)
+    buf = np.zeros((max_count, block_size), dtype=np.uint8)
+    lens_arr = np.zeros(max_count, dtype=np.int64)
+    ids = np.full(max_count, -1, dtype=np.int64)
+    for row, ((i, _), part) in enumerate(zip(mine, parts)):
+        buf[row, : part.size] = part
+        lens_arr[row] = part.size
+        ids[row] = i
+    all_buf = multihost_utils.process_allgather(buf)
+    all_lens = multihost_utils.process_allgather(lens_arr)
+    all_ids = multihost_utils.process_allgather(ids)
+
+    if pid != 0:
+        return None
+    by_id: dict[int, bytes] = {}
+    for p in range(all_ids.shape[0]):
+        for row in range(all_ids.shape[1]):
+            i = int(all_ids[p, row])
+            if i >= 0:
+                by_id[i] = all_buf[p, row, : int(all_lens[p, row])].tobytes()
+    out = b"".join(by_id[i] for i in range(len(infos)))
+    if len(out) != total_size:
+        raise ValueError(f"decoded {len(out)} bytes, expected {total_size}")
+    return out
