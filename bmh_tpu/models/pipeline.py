@@ -48,6 +48,27 @@ def _n_cps(n: int) -> int:
     return max(-(-n // ops_bwt.CURSOR_STRIDE) - 1, 0)
 
 
+# Device dispatches are capped at this many blocks: one (32, 128K) stage-1
+# batch already saturates the chip, larger batches only grow the working set
+# (a 256 MB stream would otherwise be one 2048-block dispatch and OOM), and
+# the cap keeps the set of compiled batch shapes small.
+MAX_DISPATCH_BLOCKS = 32
+
+# Prefix doubling exits when every block's ranks are distinct, so one
+# pathological block (long runs: LCP in the tens of KB) forces max rounds on
+# the whole batch.  Blocks whose sampled self-similarity at distance 2048
+# exceeds this go into their own small batch (Calgary: pic blocks measure
+# 0.6-0.83, every other file <= 0.3; text converges in 4-10 rounds, runs
+# need 14-15).
+_PATHOLOGICAL_SELF_SIM = 0.45
+
+
+def _looks_pathological(blk: np.ndarray) -> bool:
+    if blk.size < 8192:
+        return False
+    return float(np.mean(blk[:-2048:37] == blk[2048::37])) > _PATHOLOGICAL_SELF_SIM
+
+
 # ---------------------------------------------------------------------------
 # Jitted batched stages (cached per static shape)
 # ---------------------------------------------------------------------------
@@ -129,12 +150,15 @@ class JaxBackend:
         """bucket: force one padded size for every block (fewer compiled
         shapes, one dispatch for a whole multi-stream batch)."""
         results: list[dict | None] = [None] * len(blocks)
-        groups: dict[int, list[int]] = defaultdict(list)
+        groups: dict[tuple[int, bool], list[int]] = defaultdict(list)
         arrs = [np.asarray(b, dtype=np.uint8) for b in blocks]
         for i, blk in enumerate(arrs):
-            groups[max(bucket, _bucket(blk.size)) if bucket else _bucket(blk.size)].append(i)
+            nmax = max(bucket, _bucket(blk.size)) if bucket else _bucket(blk.size)
+            groups[(nmax, _looks_pathological(blk))].append(i)
 
-        for nmax, idxs in groups.items():
+        for (nmax, _hard), all_idxs in groups.items():
+          for c0 in range(0, len(all_idxs), MAX_DISPATCH_BLOCKS):
+            idxs = all_idxs[c0:c0 + MAX_DISPATCH_BLOCKS]
             b_real = len(idxs)
             b_pad = _next_pow2(b_real)
             batch = np.zeros((b_pad, nmax), dtype=np.uint8)
@@ -212,7 +236,9 @@ class JaxBackend:
 
         wbytes = DECODE_CHUNK_BITS // 8
 
-        for nmax, idxs in fgroups.items():
+        for nmax, f_idxs in fgroups.items():
+          for f0 in range(0, len(f_idxs), MAX_DISPATCH_BLOCKS):
+            idxs = f_idxs[f0:f0 + MAX_DISPATCH_BLOCKS]
             b_real = len(idxs)
             b_pad = _next_pow2(b_real)
             # flat chunk layout
@@ -284,7 +310,9 @@ class JaxBackend:
         # single-symbol blocks: materialise the constant RLE0 stream, then
         # inverse transforms only (doubling iBWT — degenerate inputs may be
         # periodic, where cursor checkpoints are undefined)
-        for nmax, idxs in sgroups.items():
+        for nmax, s_idxs in sgroups.items():
+          for s0 in range(0, len(s_idxs), MAX_DISPATCH_BLOCKS):
+            idxs = s_idxs[s0:s0 + MAX_DISPATCH_BLOCKS]
             b_real = len(idxs)
             b_pad = _next_pow2(b_real)
             batch = np.zeros((b_pad, nmax), dtype=np.int32)

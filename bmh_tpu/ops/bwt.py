@@ -81,15 +81,17 @@ def _bwt_ranks(data: jax.Array, n: jax.Array):
 
     def round_body(state):
         rank, h, _ = state
-        # (pos + h) mod n without vector integer division: TPU lowers `%` by
-        # a traced divisor to a ~35ms software sequence per 786K elements.
-        # h mod n is one scalar division; then pos + h_mod < 2n needs at most
-        # one conditional subtract.
+        # rank2[i] = rank[(i + h) mod n] for the real region.  Two notes:
+        # *  `%` by a traced divisor lowers to a ~35ms software sequence per
+        #    786K elements on TPU; h mod n is one scalar division instead.
+        # *  a cyclic shift is two dynamic slices (jnp.roll), not a random
+        #    gather: roll(rank, -h) covers i < n-h, roll(rank, n-h) covers the
+        #    wrapped tail i in [n-h, n) — both read within the real region.
         h_mod = h % jnp.maximum(n, 1)
-        nxt = pos + h_mod
-        nxt = jnp.where(nxt >= n, nxt - n, nxt)
-        nxt = jnp.where(real, nxt, pos)
-        rank2 = jnp.where(real, rank[nxt], INT32_BIG)
+        lo = jnp.roll(rank, -h_mod)            # rank[i + h]        (i < n - h)
+        hi = jnp.roll(rank, n - h_mod)         # rank[i + h - n]    (i >= n - h)
+        rank2 = jnp.where(pos < n - h_mod, lo, hi)
+        rank2 = jnp.where(real, rank2, INT32_BIG)
         k1, k2, order = _stable_sort3(rank, rank2, pos)
         changed = jnp.concatenate([
             jnp.zeros(1, dtype=jnp.int32),

@@ -1,0 +1,225 @@
+"""Per-stage TPU timing of the production pipeline at the bench shape.
+
+Builds the same (B, 128K) Calgary batch the bench dispatches, then times each
+jitted stage separately (warm, block_until_ready).  Run on the real chip:
+
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_stages.py
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, reps=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps, out
+
+
+def main(block_size=131072):
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    from bmh_tpu.models import pipeline as P
+    from bmh_tpu.ops import bwt as ops_bwt
+    from bmh_tpu.ops import huffman as ops_huf
+    from bmh_tpu.ops import mtf as ops_mtf
+    from bmh_tpu.ops import rle as ops_rle
+    from bmh_tpu.utils import corpus
+
+    datas = [corpus.read_corpus_file(n) for n in corpus.CALGARY_FILES]
+    blocks = []
+    for d in datas:
+        a = np.frombuffer(d, dtype=np.uint8)
+        for i in range(0, len(a), block_size):
+            blocks.append(a[i:i + block_size])
+    b_real = len(blocks)
+    b_pad = 1 << (b_real - 1).bit_length()
+    nmax = block_size
+    batch = np.zeros((b_pad, nmax), dtype=np.uint8)
+    ns = np.ones(b_pad, dtype=np.int32)
+    for i, blk in enumerate(blocks):
+        batch[i, : blk.size] = blk
+        ns[i] = blk.size
+    batch_d = jnp.asarray(batch)
+    ns_d = jnp.asarray(ns)
+    res = {"b_real": b_real, "b_pad": b_pad, "nmax": nmax,
+           "platform": jax.devices()[0].platform}
+
+    # --- compress stages ---
+    bwt_fn = jax.jit(jax.vmap(ops_bwt.bwt_forward_cp))
+    t, (last, shift, cps, aper) = timeit(bwt_fn, batch_d, ns_d)
+    res["bwt_forward"] = t
+
+    mtf_fn = jax.jit(jax.vmap(lambda x, n: ops_mtf.mtf_forward(x, n, P.MTF_CHUNK)))
+    t, codes = timeit(mtf_fn, last, ns_d)
+    res["mtf_forward"] = t
+
+    rle_fn = jax.jit(jax.vmap(ops_rle.rle0_encode))
+    t, (syms, ms) = timeit(rle_fn, codes, ns_d)
+    res["rle0_encode"] = t
+
+    hist_fn = jax.jit(jax.vmap(
+        lambda s, m: ops_huf.histogram(s, m, bins=ops_rle.RLE_ALPHABET)))
+    t, freqs = timeit(hist_fn, syms, ms)
+    res["histogram"] = t
+
+    t, _ = timeit(P._batched_stage1(nmax, b_pad), batch_d, ns_d)
+    res["stage1_fused"] = t
+
+    freqs_np = np.asarray(freqs)
+    t0 = time.perf_counter()
+    A = ops_rle.RLE_ALPHABET
+    lens_all = np.zeros((b_pad, A), dtype=np.uint8)
+    code_tbls = np.zeros((b_pad, A), dtype=np.uint32)
+    for row in range(b_real):
+        lens_all[row] = ops_huf.code_lengths_from_hist(freqs_np[row])
+        if (lens_all[row] > 0).any():
+            code_tbls[row] = ops_huf.canonical_code_table(lens_all[row])
+    res["host_huffman"] = time.perf_counter() - t0
+
+    t, (words, total_bits) = timeit(
+        P._batched_stage2(nmax, b_pad), syms, ms,
+        jnp.asarray(lens_all.astype(np.int32)), jnp.asarray(code_tbls))
+    res["encode_bitpack"] = t
+
+    # count doubling rounds per block (numpy oracle of convergence)
+    rounds = []
+    for blk in blocks:
+        n = blk.size
+        r = np.zeros(n, dtype=np.int64)
+        r = blk.astype(np.int64) * 256 + blk[(np.arange(n) + 1) % n]
+        h = 2
+        cnt = 0
+        while h < n:
+            if np.unique(r).size == n:
+                break
+            r2 = r[(np.arange(n) + h) % n]
+            key = r * (r2.max() + 1) + r2
+            o = np.argsort(key, kind="stable")
+            ks = key[o]
+            nr = np.zeros(n, dtype=np.int64)
+            nr[o] = np.cumsum(np.r_[0, (ks[1:] != ks[:-1]).astype(np.int64)])
+            r = nr
+            h *= 2
+            cnt += 1
+        rounds.append(cnt)
+    res["doubling_rounds"] = rounds
+    res["max_rounds"] = max(rounds)
+
+    # --- decompress via the production grouped path, end to end ---
+    from bmh_tpu import api
+    blob = api.compress_many([bytes(d) for d in datas], block_size=block_size,
+                             uniform=True)
+    t0 = time.perf_counter()
+    out = api.decompress_many(blob, uniform=True)
+    res["decompress_cold"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = api.decompress_many(blob, uniform=True)
+    res["decompress_warm"] = time.perf_counter() - t0
+    assert all(bytes(a) == b for a, b in zip(datas, out))
+
+    # --- decompress sub-stages at the flat shape ---
+    # rebuild the flat decode inputs exactly as decompress_blocks does
+    from bmh_tpu.utils import container as C
+    blks = []
+    for bl in blob:
+        _, _, raw_blocks = C.unpack_file(bl)
+        for raw in raw_blocks:
+            orig_len, shift, lens, present, cps_b, rle_len, payload = C.unpack_block(raw)
+            blks.append({"orig_len": orig_len, "shift": shift, "lens": lens,
+                         "present": present, "cps": cps_b, "rle_len": rle_len,
+                         "payload": payload})
+    # reuse internal grouping by calling the private path pieces
+    d_in = [b for b in blks if int(np.asarray(b["present"]).sum()) > 1]
+    wbytes = P.DECODE_CHUNK_BITS // 8
+    spans, nc_true, maxl = [], 0, 0
+    for b in d_in:
+        nc_b = max(1, -(-len(b["payload"]) // wbytes))
+        spans.append((nc_true, nc_b))
+        nc_true += nc_b
+        maxl = max(maxl, int(np.asarray(b["lens"]).max()))
+    maxl = min(max(8, -(-maxl // 8) * 8), 31)
+    from bmh_tpu.ops.pallas_decode import CHUNK_ALIGN
+    nc = ((nc_true + CHUNK_ALIGN - 1) // CHUNK_ALIGN)
+    nc = (1 << (nc - 1).bit_length()) * CHUNK_ALIGN
+    res["nc_true"], res["nc_pad"], res["maxl"] = nc_true, nc, maxl
+
+    bb = 1 << (len(d_in) - 1).bit_length()
+    words_h = np.zeros(nc * wbytes // 4, dtype=np.uint32)
+    count_t = np.zeros((32, nc), dtype=np.int32)
+    seg_id = np.full(nc, bb, dtype=np.int32)
+    seg_start = np.zeros(nc, dtype=bool)
+    seg_start[nc_true:] = True
+    seg_start_idx = np.arange(nc, dtype=np.int32)
+    sym_tbl = np.zeros((bb + 1, A), dtype=np.int32)
+    ns2 = np.ones(bb + 1, dtype=np.int32)
+    ms2 = np.ones(bb + 1, dtype=np.int32)
+    ms2[bb] = 0
+    shifts = np.zeros(bb, dtype=np.int32)
+    fn, kcp = P._decode_flat(nc, nmax, bb, P.DECODE_CHUNK_BITS, maxl)
+    cps2 = np.zeros((bb, kcp), dtype=np.int32)
+    for row, (b, (c0, nc_b)) in enumerate(zip(d_in, spans)):
+        buf = b["payload"] + b"\x00" * (nc_b * wbytes - len(b["payload"]))
+        words_h[c0 * wbytes // 4:(c0 + nc_b) * wbytes // 4] = np.frombuffer(
+            buf, dtype=">u4").astype(np.uint32)
+        tt = ops_huf.decode_tables(np.asarray(b["lens"]))
+        count_t[:, c0:c0 + nc_b] = tt["count"][:, None]
+        seg_id[c0:c0 + nc_b] = row
+        seg_start[c0] = True
+        seg_start_idx[c0:c0 + nc_b] = c0
+        sym_tbl[row] = tt["sym"][:A]
+        ns2[row] = int(b["orig_len"])
+        ms2[row] = int(b["rle_len"])
+        shifts[row] = int(b["shift"])
+        bc = b.get("cps")
+        if bc is not None and len(bc) > 0:
+            cc = np.asarray(bc, dtype=np.int32)[:kcp]
+            cps2[row, : cc.size] = cc
+
+    args = [jnp.asarray(x) for x in
+            (words_h, count_t, seg_start, seg_start_idx, seg_id, sym_tbl,
+             ms2, ns2, shifts, cps2)]
+    t, _ = timeit(fn, *args)
+    res["decode_flat_fused"] = t
+
+    # pieces
+    from bmh_tpu.ops import pallas_decode as PD
+    tiles_fn = jax.jit(lambda w: ops_huf.unpack_bit_tiles_flat(w, P.DECODE_CHUNK_BITS))
+    t, tiles = timeit(tiles_fn, args[0])
+    res["unpack_tiles"] = t
+    pa = jax.jit(lambda tl, ct: PD.phase_a(tl, ct, chunk_bits=P.DECODE_CHUNK_BITS,
+                                           maxl=maxl, interpret=False))
+    t, (cnt_map, exit_map) = timeit(pa, tiles, args[1])
+    res["phase_a"] = t
+    gd = jax.jit(lambda tl, ct, ss, ssi, si, st, m: ops_huf.gap_decode_flat(
+        tl, ct, ss, ssi, si, st, m, nmax, P.DECODE_CHUNK_BITS, maxl))
+    t, syms_dec = timeit(gd, tiles, args[1], args[2], args[3], args[4], args[5], args[6])
+    res["gap_decode_total"] = t
+    rled = jax.jit(jax.vmap(ops_rle.rle0_decode))
+    t, codes_dec = timeit(rled, syms_dec[:bb], args[6][:bb], args[7][:bb])
+    res["rle0_decode"] = t
+    imtf = jax.jit(jax.vmap(lambda c, n: ops_mtf.mtf_inverse(c, n, P.MTF_CHUNK)))
+    t, last_dec = timeit(imtf, codes_dec, args[7][:bb])
+    res["mtf_inverse"] = t
+    ibwt = jax.jit(jax.vmap(ops_bwt.bwt_inverse_cursors))
+    t, _ = timeit(ibwt, last_dec, args[8], args[9], args[7][:bb])
+    res["ibwt_cursors"] = t
+
+    print(json.dumps(res, indent=1))
+
+
+if __name__ == "__main__":
+    main()
