@@ -98,7 +98,11 @@ def _bwt_ranks(data: jax.Array, n: jax.Array):
             ((k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])).astype(jnp.int32),
         ])
         new_rank_sorted = jnp.cumsum(changed)
-        new_rank = jnp.zeros(nmax, dtype=jnp.int32).at[order].set(new_rank_sorted)
+        # inverse-permute rank back to position order by *sorting* on the
+        # (unique) position payload: a second sort is ~2x cheaper than the
+        # 4M-element random scatter it replaces (traced: 20.5 ms/round
+        # scatter fusion vs 5.6+3.8 ms for the round's sort pair).
+        _, new_rank = jax.lax.sort((order, new_rank_sorted), num_keys=1)
         n_real_ranks = new_rank_sorted[jnp.maximum(n - 1, 0)]  # rank of last real element
         done = n_real_ranks >= n - 1
         return new_rank, h * 2, done
