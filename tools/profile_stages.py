@@ -142,8 +142,12 @@ def main(block_size=131072):
             blks.append({"orig_len": orig_len, "shift": shift, "lens": lens,
                          "present": present, "cps": cps_b, "rle_len": rle_len,
                          "payload": payload})
-    # reuse internal grouping by calling the private path pieces
+    # reuse the pipeline's grouping exactly: multi-symbol blocks, capped at
+    # MAX_DISPATCH_BLOCKS per dispatch (profile the first such dispatch), nc
+    # rounded with the pipeline's own _next_pow2 so profiled shapes match
+    # what decompress_blocks actually compiles and runs
     d_in = [b for b in blks if int(np.asarray(b["present"]).sum()) > 1]
+    d_in = d_in[: P.MAX_DISPATCH_BLOCKS]
     wbytes = P.DECODE_CHUNK_BITS // 8
     spans, nc_true, maxl = [], 0, 0
     for b in d_in:
@@ -153,11 +157,10 @@ def main(block_size=131072):
         maxl = max(maxl, int(np.asarray(b["lens"]).max()))
     maxl = min(max(8, -(-maxl // 8) * 8), 31)
     from bmh_tpu.ops.pallas_decode import CHUNK_ALIGN
-    nc = ((nc_true + CHUNK_ALIGN - 1) // CHUNK_ALIGN)
-    nc = (1 << (nc - 1).bit_length()) * CHUNK_ALIGN
+    nc = P._next_pow2(-(-nc_true // CHUNK_ALIGN)) * CHUNK_ALIGN
     res["nc_true"], res["nc_pad"], res["maxl"] = nc_true, nc, maxl
 
-    bb = 1 << (len(d_in) - 1).bit_length()
+    bb = P._next_pow2(len(d_in))
     words_h = np.zeros(nc * wbytes // 4, dtype=np.uint32)
     count_t = np.zeros((32, nc), dtype=np.int32)
     seg_id = np.full(nc, bb, dtype=np.int32)
