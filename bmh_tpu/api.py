@@ -62,40 +62,70 @@ def get_backend(name: str):
     return _BACKENDS[name]
 
 
+def _rle1_blocks(blocks: list[np.ndarray]) -> tuple[list[np.ndarray], list[int]]:
+    """Per-block RLE1 pre-pass (utils/nativeio): returns the (possibly
+    collapsed) blocks the codec sees plus each block's raw length.  A block
+    keeps its raw bytes when RLE1 would not strictly shrink it."""
+    from .utils import nativeio
+
+    if not CONFIG.rle1:
+        return blocks, [b.size for b in blocks]
+    out = []
+    raw_lens = []
+    for b in blocks:
+        enc = nativeio.rle1_encode(b)
+        out.append(enc if enc.size < b.size else b)
+        raw_lens.append(b.size)
+    return out, raw_lens
+
+
+def _rle1_restore(part: np.ndarray, raw_len: int) -> np.ndarray:
+    from .utils import nativeio
+
+    if part.size == raw_len:
+        return part
+    return nativeio.rle1_decode(part, raw_len)
+
+
 def compress_bytes(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK_SIZE,
                    backend: str = "jax") -> bytes:
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
-    blocks = container.split_blocks(arr, block_size)
+    blocks, raw_lens = _rle1_blocks(container.split_blocks(arr, block_size))
     results = get_backend(backend).compress_blocks(blocks)
     packed = []
-    for blk, r in zip(blocks, results):
+    for raw_len, r in zip(raw_lens, results):
         present = r["freqs"] > 0
         packed.append(
-            container.pack_block(r["orig_len"], r["shift"], r["lens"], present,
+            container.pack_block(raw_len, r["shift"], r["lens"], present,
                                  r["payload"], cps=r.get("cps", ()),
-                                 rle_len=r["rle_len"])
+                                 rle_len=r["rle_len"], pre_len=r["orig_len"])
         )
     return container.pack_file(packed, block_size, arr.size)
 
 
 def decompress_bytes(buf: bytes, backend: str = "jax") -> bytes:
     block_size, total_size, raw_blocks = container.unpack_file(buf)
+    stride = container.file_stride(buf)
     infos = []
+    raw_lens = []
     for raw in raw_blocks:
-        orig_len, shift, lens, present, cps, rle_len, payload = container.unpack_block(raw)
+        orig_len, shift, lens, present, cps, rle_len, payload, pre_len =             container.unpack_block(raw)
+        raw_lens.append(orig_len)
         infos.append({
-            "orig_len": orig_len,
+            "orig_len": pre_len,  # the codec round-trips the RLE1'd bytes
             "shift": shift,
             "lens": lens,
             "present": present,
             "cps": cps,
             "rle_len": rle_len,
             "payload": payload,
+            "stride": stride,
         })
     if not infos:
         return b""
     parts = get_backend(backend).decompress_blocks(infos)
-    out = b"".join(p.tobytes() for p in parts)
+    out = b"".join(_rle1_restore(p, rl).tobytes()
+                   for p, rl in zip(parts, raw_lens))
     if len(out) != total_size:
         raise ValueError(f"decoded {len(out)} bytes, expected {total_size}")
     return out
@@ -114,11 +144,13 @@ def compress_many(datas: list[bytes | np.ndarray], block_size: int = DEFAULT_BLO
     arrs = [np.frombuffer(d, dtype=np.uint8) if isinstance(d, (bytes, bytearray))
             else np.asarray(d, dtype=np.uint8) for d in datas]
     flat_blocks: list[np.ndarray] = []
+    flat_raw_lens: list[int] = []
     spans: list[tuple[int, int]] = []
     for arr in arrs:
-        blocks = container.split_blocks(arr, block_size)
+        blocks, raw_lens = _rle1_blocks(container.split_blocks(arr, block_size))
         spans.append((len(flat_blocks), len(blocks)))
         flat_blocks.extend(blocks)
+        flat_raw_lens.extend(raw_lens)
     be = get_backend(backend)
     if uniform and hasattr(be, "name") and be.name == "jax":
         from .models.pipeline import _bucket
@@ -129,12 +161,14 @@ def compress_many(datas: list[bytes | np.ndarray], block_size: int = DEFAULT_BLO
     out = []
     for arr, (start, cnt) in zip(arrs, spans):
         packed = []
-        for r in results[start:start + cnt]:
+        for r, raw_len in zip(results[start:start + cnt],
+                              flat_raw_lens[start:start + cnt]):
             present = r["freqs"] > 0
-            packed.append(container.pack_block(r["orig_len"], r["shift"], r["lens"],
+            packed.append(container.pack_block(raw_len, r["shift"], r["lens"],
                                                present, r["payload"],
                                                cps=r.get("cps", ()),
-                                               rle_len=r["rle_len"]))
+                                               rle_len=r["rle_len"],
+                                               pre_len=r["orig_len"]))
         out.append(container.pack_file(packed, block_size, arr.size))
     return out
 
@@ -143,19 +177,22 @@ def decompress_many(bufs: list[bytes], backend: str = "jax",
                     uniform: bool = False) -> list[bytes]:
     """Decompress several .bzt containers in one batched backend dispatch."""
     infos: list[dict] = []
+    raw_lens: list[int] = []
     spans: list[tuple[int, int, int]] = []
     max_block = 0
     max_payload = 0
     for buf in bufs:
         bs, total, raw_blocks = container.unpack_file(buf)
+        stride = container.file_stride(buf)
         max_block = max(max_block, bs)
         spans.append((len(infos), len(raw_blocks), total))
         for raw in raw_blocks:
-            orig_len, shift, lens, present, cps, rle_len, payload = container.unpack_block(raw)
+            orig_len, shift, lens, present, cps, rle_len, payload, pre_len =                 container.unpack_block(raw)
             max_payload = max(max_payload, len(payload))
-            infos.append({"orig_len": orig_len, "shift": shift, "lens": lens,
+            raw_lens.append(orig_len)
+            infos.append({"orig_len": pre_len, "shift": shift, "lens": lens,
                           "present": present, "cps": cps, "rle_len": rle_len,
-                          "payload": payload})
+                          "payload": payload, "stride": stride})
     be = get_backend(backend)
     if not infos:
         parts = []
@@ -169,7 +206,9 @@ def decompress_many(bufs: list[bytes], backend: str = "jax",
         parts = be.decompress_blocks(infos)
     out = []
     for start, cnt, total in spans:
-        data = b"".join(p.tobytes() for p in parts[start:start + cnt])
+        data = b"".join(_rle1_restore(p, rl).tobytes()
+                        for p, rl in zip(parts[start:start + cnt],
+                                         raw_lens[start:start + cnt]))
         if len(data) != total:
             raise ValueError(f"decoded {len(data)} bytes, expected {total}")
         out.append(data)

@@ -113,7 +113,7 @@ def cmd_info(args) -> int:
     print(f"block_size: {block_size} $$ n_blocks: {len(raw_blocks)} "
           f"$$ total_size: {total_size} $$ file_bytes: {len(buf)}")
     for i, raw in enumerate(raw_blocks):
-        orig_len, shift, lens, present, cps, rle_len, payload = container.unpack_block(raw)
+        orig_len, shift, lens, present, cps, rle_len, payload, _pre = container.unpack_block(raw)
         ncp = "periodic" if cps is None else len(cps)
         print(f"block {i}: orig_len {orig_len} $$ shift {shift} "
               f"$$ symbols {int(np.count_nonzero(present))} "

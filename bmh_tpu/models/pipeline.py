@@ -54,6 +54,11 @@ def _n_cps(n: int) -> int:
 # the cap keeps the set of compiled batch shapes small.
 MAX_DISPATCH_BLOCKS = 32
 
+
+def _chunks(seq: list, size: int = MAX_DISPATCH_BLOCKS):
+    """Split a group's index list into dispatch-sized chunks."""
+    return [seq[i:i + size] for i in range(0, len(seq), size)]
+
 # Prefix doubling exits when every block's ranks are distinct, so one
 # pathological block (long runs: LCP in the tens of KB) forces max rounds on
 # the whole batch.  Blocks whose sampled self-similarity at distance 2048
@@ -83,6 +88,40 @@ def compress_stage1_fn(data, n):
     return syms, m, freqs, shift, cps, aperiodic
 
 
+def compress_finish_fn(data, n, rank):
+    """compress_stage1_fn tail for precomputed final BWT ranks (the
+    sparse-doubling path: bwt_rounds -> host compaction -> sparse_refine ->
+    this)."""
+    last, shift, cps, aperiodic = ops_bwt.bwt_finish_cp(data, n, rank)
+    codes = ops_mtf.mtf_forward(last, n, MTF_CHUNK)
+    syms, m = ops_rle.rle0_encode(codes, n)
+    freqs = ops_huf.histogram(syms, m, bins=ops_rle.RLE_ALPHABET)
+    return syms, m, freqs, shift, cps, aperiodic
+
+
+def encode_tail_fn(syms, m, freqs):
+    """Device-side Huffman: two-queue code lengths + canonical codes +
+    bitpack, fused onto the stage-1 outputs so compress is one dispatch
+    per batch (the host Huffman loop and its device round-trip are gone)."""
+    lens = ops_huf.code_lengths_device(freqs)
+    codes = ops_huf.canonical_codes_device(lens)
+    words, total_bits = ops_huf.encode_bitpack(syms, m, lens, codes)
+    return words, total_bits, lens
+
+
+def compress_full_fn(data, n):
+    """Whole compress for one block in one jit: raw bytes -> packed words."""
+    syms, m, freqs, shift, cps, aperiodic = compress_stage1_fn(data, n)
+    words, total_bits, lens = encode_tail_fn(syms, m, freqs)
+    return words, total_bits, lens, freqs, m, shift, cps, aperiodic
+
+
+def compress_finish_full_fn(data, n, rank):
+    syms, m, freqs, shift, cps, aperiodic = compress_finish_fn(data, n, rank)
+    words, total_bits, lens = encode_tail_fn(syms, m, freqs)
+    return words, total_bits, lens, freqs, m, shift, cps, aperiodic
+
+
 def decompress_stage2_fn(syms, m, shift, n):
     """(nmax,) int32 RLE0 symbols -> original block bytes (doubling iBWT)."""
     codes = ops_rle.rle0_decode(syms, m, n)
@@ -93,6 +132,153 @@ def decompress_stage2_fn(syms, m, shift, n):
 @functools.lru_cache(maxsize=128)
 def _batched_stage1(nmax: int, batch: int):
     return jax.jit(jax.vmap(compress_stage1_fn))
+
+
+# --- sparse-doubling BWT path (text batches) -------------------------------
+# Full rounds stop at h_stop = 2^(full_rounds+1); the host then compacts the
+# batch's tied positions and a small sparse dispatch finishes the ranks.
+FULL_ROUNDS = config_mod.DEFAULT.full_rounds
+_SPARSE_H0 = 1 << (FULL_ROUNDS + 1)
+# minimum padded compact size (amortizes compile shapes); above half the
+# batch the sparse sort stops paying and full rounds resume instead
+_SPARSE_MIN = 4096
+
+
+@functools.lru_cache(maxsize=128)
+def _batched_rounds(nmax: int, batch: int):
+    def f(data, n):
+        rank, tied, h, done = ops_bwt.bwt_rounds(data, n, _SPARSE_H0)
+        return rank, tied, h, done, jnp.sum(tied)
+
+    return jax.jit(jax.vmap(f))
+
+
+@functools.lru_cache(maxsize=128)
+def _batched_resume(nmax: int, batch: int):
+    def f(rank, n):
+        # restart at h = h_stop with a fresh not-done flag; tied recomputed
+        rank, _, _, _ = ops_bwt.bwt_rounds_resume(
+            rank, jnp.zeros_like(rank), jnp.int32(_SPARSE_H0),
+            jnp.bool_(False), n)
+        return rank
+
+    return jax.jit(jax.vmap(f))
+
+
+@functools.lru_cache(maxsize=128)
+def _sparse_fn(b: int, nmax: int, m_cap: int):
+    """Device-side compaction + sparse refinement: the tied mask never
+    leaves the device (a (B, nmax) mask pull costs ~100 ms through the
+    tunnel); the host sees only per-block tied counts."""
+
+    def f(rank, tied, ns):
+        flat = tied.reshape(-1) != 0
+        idx = jnp.nonzero(flat, size=m_cap, fill_value=b * nmax)[0].astype(jnp.int32)
+        blk = idx // nmax  # static power-of-two divisor -> shift; pads -> b
+        pos = idx - blk * nmax
+        nb = ns[jnp.clip(blk, 0, b - 1)]
+        # hm0 = h0 mod nb by binary conditional subtraction: the quotient is
+        # <= h0 (nb >= 1), so subtracting nb * {32,16,8,4,2,1} suffices and
+        # avoids the ~35ms-per-786K software integer `%` lowering
+        hm = jnp.full(m_cap, _SPARSE_H0, dtype=jnp.int32)
+        q = 1
+        while q * 2 <= _SPARSE_H0:
+            q *= 2
+        while q >= 1:
+            hm = jnp.where(hm >= nb * q, hm - nb * q, hm)
+            q //= 2
+        return ops_bwt.sparse_refine(rank, blk, pos, hm, ns,
+                                     jnp.int32(_SPARSE_H0))
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=128)
+def _batched_finish(nmax: int, batch: int):
+    return jax.jit(jax.vmap(compress_finish_fn))
+
+
+def _flatten_payloads(words, bits):
+    """(B, W) per-block packed words + per-block bit counts -> one compact
+    word stream (device-side), so the host pulls ~the compressed size
+    instead of the full padded words buffer (5.2 MB -> ~1 MB per corpus
+    batch through the ~40 MB/s tunnel).
+
+    Returns (flat (B*W,) uint32 — first total_words valid, laid out as each
+    block's word-aligned payload back to back; nw (B,) int32 words per
+    block; total_words int32)."""
+    b, w = words.shape
+    cap = b * w
+    nw = (bits + 31) // 32                      # (B,) words per block
+    woffs = jnp.cumsum(nw) - nw                 # exclusive
+    total_words = jnp.sum(nw)
+    # row of each flat slot: scatter row ids at row starts (later rows win
+    # ties from empty rows), then a running max
+    marks = jnp.zeros(cap + 1, jnp.int32).at[jnp.clip(woffs, 0, cap)].max(
+        jnp.arange(b, dtype=jnp.int32), mode="drop")
+    row = jax.lax.cummax(marks[:cap])
+    slot = jnp.arange(cap, dtype=jnp.int32) - woffs[row]
+    flat = words[row, jnp.clip(slot, 0, w - 1)]
+    return flat, nw.astype(jnp.int32), total_words.astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=128)
+def _batched_full(nmax: int, batch: int):
+    def g(data, ns):
+        words, bits, lens, freqs, ms, shifts, cps, aper = jax.vmap(
+            compress_full_fn)(data, ns)
+        flat, nw, total_words = _flatten_payloads(words, bits)
+        return flat, nw, total_words, bits, lens, freqs, ms, shifts, cps, aper
+
+    return jax.jit(g)
+
+
+@functools.lru_cache(maxsize=128)
+def _batched_finish_full(nmax: int, batch: int):
+    def g(data, ns, rank):
+        words, bits, lens, freqs, ms, shifts, cps, aper = jax.vmap(
+            compress_finish_full_fn)(data, ns, rank)
+        flat, nw, total_words = _flatten_payloads(words, bits)
+        return flat, nw, total_words, bits, lens, freqs, ms, shifts, cps, aper
+
+    return jax.jit(g)
+
+
+def _sparse_cap(b_pad: int, nmax: int) -> int:
+    """Static compact-set capacity: 1/16 of the batch (text leaves ~5%
+    tied after 4 full rounds), with a floor for tiny batches."""
+    return max((b_pad * nmax) // 16, _SPARSE_MIN)
+
+
+def _sparse_ranks(batch_j, ns_j, ns_np):
+    """Final BWT ranks for a (B, nmax) batch via sparse doubling.  The one
+    host sync reads only per-block tied *counts*; compaction of the tied
+    positions happens on device (fixed capacity), so neither the rank
+    planes nor the mask ever cross the tunnel."""
+    b_pad, nmax = batch_j.shape
+    rank, tied, h, done, cnt = _batched_rounds(nmax, b_pad)(batch_j, ns_j)
+    m_true = int(np.asarray(cnt).sum())
+    if config_mod.DEFAULT.debug_sparse:
+        import sys
+
+        print(f"[sparse] b={b_pad} nmax={nmax} tied={m_true} "
+              f"cap={_sparse_cap(b_pad, nmax)}", file=sys.stderr, flush=True)
+    if m_true:
+        if m_true > _sparse_cap(b_pad, nmax):
+            # run-dominated batch: the compact set would not fit the static
+            # capacity; resume classic full rounds to convergence instead
+            rank = _batched_resume(nmax, b_pad)(rank, ns_j)
+        else:
+            rank = _sparse_fn(b_pad, nmax, _sparse_cap(b_pad, nmax))(
+                rank, tied, ns_j)
+    return rank
+
+
+def _stage1_sparse(batch_j, ns_j, ns_np):
+    """Batched stage 1 via sparse doubling (compress_stage1_fn outputs)."""
+    b_pad, nmax = batch_j.shape
+    rank = _sparse_ranks(batch_j, ns_j, ns_np)
+    return _batched_finish(nmax, b_pad)(batch_j, ns_j, rank)
 
 
 @functools.lru_cache(maxsize=128)
@@ -106,22 +292,31 @@ def _batched_decode2(nmax: int, batch: int):
 
 
 @functools.lru_cache(maxsize=128)
-def _decode_flat(nc: int, nmax: int, batch: int, chunk_bits: int, maxl: int):
-    """Fused flat Huffman gap decode + inverse MTF + cursor iBWT."""
-    kcp = max(max(nmax // ops_bwt.CURSOR_STRIDE, 1) - 1, 1)
+def _decode_flat(nc: int, nmax: int, batch: int, chunk_bits: int, maxl: int,
+                 stride: int = ops_bwt.CURSOR_STRIDE):
+    """Fused flat Huffman gap decode + inverse MTF + cursor iBWT.
+
+    Takes per-block code lengths; the canonical decode tables (per-length
+    counts, symbol lists) are built on device (decode_tables_device), so
+    the host does no per-block table work and ships (B, 257) lens instead
+    of a (32, NC) broadcast table.  `stride` is the encoding file's cursor
+    checkpoint spacing (container.file_stride)."""
+    kcp = max(max(nmax // stride, 1) - 1, 1)
 
     @jax.jit
-    def f(words_flat, count_t, seg_start, seg_start_idx, seg_id, sym_tbl,
+    def f(words_flat, lens_all, seg_start, seg_start_idx, seg_id,
           ms, ns, shifts, cps):
-        tiles = ops_huf.unpack_bit_tiles_flat(words_flat, chunk_bits)
-        syms = ops_huf.gap_decode_flat(tiles, count_t, seg_start,
-                                       seg_start_idx, seg_id, sym_tbl, ms,
+        count_b, sym_b = jax.vmap(ops_huf.decode_tables_device)(lens_all)
+        count_t = count_b[seg_id].T  # (32, NC)
+        syms = ops_huf.gap_decode_flat(words_flat, count_t, seg_start,
+                                       seg_start_idx, seg_id, sym_b, ms,
                                        nmax, chunk_bits, maxl)
 
         def per_block(syms_b, m, shift, cp, n):
             codes_b = ops_rle.rle0_decode(syms_b, m, n)
             last = ops_mtf.mtf_inverse(codes_b, n, MTF_CHUNK)
-            return ops_bwt.bwt_inverse_cursors(last, shift, cp, n)
+            return ops_bwt.bwt_inverse_cursors(last, shift, cp, n,
+                                               stride=stride)
 
         # syms has a trailing dummy row (pad chunks' segment); drop it
         b_real_rows = shifts.shape[0]
@@ -148,7 +343,9 @@ class JaxBackend:
     def compress_blocks(self, blocks: list[np.ndarray],
                         bucket: int | None = None) -> list[dict]:
         """bucket: force one padded size for every block (fewer compiled
-        shapes, one dispatch for a whole multi-stream batch)."""
+        shapes; dispatches are still capped at MAX_DISPATCH_BLOCKS blocks,
+        so a large multi-stream batch runs as a short sequence of
+        fixed-shape dispatches)."""
         results: list[dict | None] = [None] * len(blocks)
         groups: dict[tuple[int, bool], list[int]] = defaultdict(list)
         arrs = [np.asarray(b, dtype=np.uint8) for b in blocks]
@@ -156,9 +353,12 @@ class JaxBackend:
             nmax = max(bucket, _bucket(blk.size)) if bucket else _bucket(blk.size)
             groups[(nmax, _looks_pathological(blk))].append(i)
 
+        # Phase 1 — dispatch every chunk's device work (async): the whole
+        # encode (BWT -> MTF -> RLE0 -> histogram -> two-queue lengths ->
+        # canonical codes -> bitpack) is one fused program per batch.
+        pending = []
         for (nmax, _hard), all_idxs in groups.items():
-          for c0 in range(0, len(all_idxs), MAX_DISPATCH_BLOCKS):
-            idxs = all_idxs[c0:c0 + MAX_DISPATCH_BLOCKS]
+          for idxs in _chunks(all_idxs):
             b_real = len(idxs)
             b_pad = _next_pow2(b_real)
             batch = np.zeros((b_pad, nmax), dtype=np.uint8)
@@ -166,36 +366,46 @@ class JaxBackend:
             for row, i in enumerate(idxs):
                 batch[row, : arrs[i].size] = arrs[i]
                 ns[row] = arrs[i].size
-            syms, ms, freqs, shifts, cps, aper = _batched_stage1(nmax, b_pad)(
-                jnp.asarray(batch), jnp.asarray(ns))
+            batch_j, ns_j = jnp.asarray(batch), jnp.asarray(ns)
+            if _hard:
+                # run-dominated blocks (many doubling rounds, most positions
+                # tied for a long time): the classic fused single-dispatch
+                # stage 1 beats the sparse path's host sync
+                out = _batched_full(nmax, b_pad)(batch_j, ns_j)
+            else:
+                rank = _sparse_ranks(batch_j, ns_j, ns)
+                out = _batched_finish_full(nmax, b_pad)(batch_j, ns_j, rank)
+            pending.append((idxs, ns, out))
+
+        # Phase 2 — pull results and assemble containers; later chunks keep
+        # executing on the device while earlier ones are packaged here.
+        # Only the first total_words of the compacted word stream cross the
+        # tunnel (~ the compressed size), not the padded (B, W) buffer.
+        for idxs, ns, out in pending:
+            flat, nw, total_words, total_bits, lens, freqs, ms, shifts, \
+                cps, aper = out
+            bits_np = np.asarray(total_bits)
+            nw_np = np.asarray(nw)
+            woffs_np = np.cumsum(nw_np) - nw_np
+            flat_np = np.asarray(flat[: int(total_words)]).astype(">u4")
+            lens_np = np.asarray(lens).astype(np.uint8)
             freqs_np = np.asarray(freqs)
             shifts_np = np.asarray(shifts)
             ms_np = np.asarray(ms)
             cps_np = np.asarray(cps)
             aper_np = np.asarray(aper)
 
-            A = ops_rle.RLE_ALPHABET
-            lens_all = np.zeros((b_pad, A), dtype=np.uint8)
-            code_tbls = np.zeros((b_pad, A), dtype=np.uint32)
-            for row in range(b_real):
-                lens_all[row] = ops_huf.code_lengths_from_hist(freqs_np[row])
-                if (lens_all[row] > 0).any():
-                    code_tbls[row] = ops_huf.canonical_code_table(lens_all[row])
-            words, total_bits = _batched_stage2(nmax, b_pad)(
-                syms, ms,
-                jnp.asarray(lens_all.astype(np.int32)), jnp.asarray(code_tbls))
-            words_np = np.asarray(words)
-            bits_np = np.asarray(total_bits)
-
             for row, i in enumerate(idxs):
                 tb = int(bits_np[row])
                 n = int(ns[row])
-                payload = (words_np[row].astype(">u4").tobytes()[: (tb + 7) // 8]
-                           if (lens_all[row] > 0).any() else b"")
+                w0 = int(woffs_np[row])
+                payload = (flat_np[w0: w0 + int(nw_np[row])]
+                           .tobytes()[: (tb + 7) // 8]
+                           if (lens_np[row] > 0).any() else b"")
                 results[i] = {
                     "orig_len": n,
                     "shift": int(shifts_np[row]),
-                    "lens": lens_all[row],
+                    "lens": lens_np[row],
                     "freqs": freqs_np[row],
                     "payload": payload,
                     "total_bits": tb,
@@ -208,8 +418,9 @@ class JaxBackend:
                           bucket: int | None = None,
                           chunk_bucket: int | None = None) -> list[np.ndarray]:
         """bucket: force a uniform padded block size so a heterogeneous batch
-        becomes one dispatch.  (chunk_bucket is accepted for API compat; the
-        flat chunk axis makes it unnecessary.)"""
+        shares one compiled shape; dispatches are capped at
+        MAX_DISPATCH_BLOCKS blocks each.  (chunk_bucket is accepted for API
+        compat; the flat chunk axis makes it unnecessary.)"""
         results: list[np.ndarray | None] = [None] * len(blocks)
 
         def blk_bucket(n: int) -> int:
@@ -224,21 +435,22 @@ class JaxBackend:
         pgroups: dict[int, list[int]] = defaultdict(list)
         for i, b in enumerate(blocks):
             n = int(b["orig_len"])
+            stride_b = int(b.get("stride", ops_bwt.CURSOR_STRIDE))
             present = np.asarray(b["present"])
             if n == 0:
                 results[i] = np.zeros(0, dtype=np.uint8)
             elif int(present.sum()) == 1:
                 sgroups[blk_bucket(n)].append(i)
-            elif b.get("cps") is None and n > ops_bwt.CURSOR_STRIDE:
+            elif b.get("cps") is None and n > stride_b:
                 pgroups[blk_bucket(n)].append(i)
             else:
-                fgroups[blk_bucket(n)].append(i)
+                fgroups[(blk_bucket(n), stride_b)].append(i)
 
         wbytes = DECODE_CHUNK_BITS // 8
 
-        for nmax, f_idxs in fgroups.items():
-          for f0 in range(0, len(f_idxs), MAX_DISPATCH_BLOCKS):
-            idxs = f_idxs[f0:f0 + MAX_DISPATCH_BLOCKS]
+        pending = []  # dispatch all flat-decode chunks, then pull (async)
+        for (nmax, stride_g), f_idxs in fgroups.items():
+          for idxs in _chunks(f_idxs):
             b_real = len(idxs)
             b_pad = _next_pow2(b_real)
             # flat chunk layout
@@ -256,17 +468,17 @@ class JaxBackend:
 
             A = ops_rle.RLE_ALPHABET
             words = np.zeros(nc * wbytes // 4, dtype=np.uint32)
-            count_t = np.zeros((32, nc), dtype=np.int32)
+            lens_all = np.zeros((b_pad + 1, A), dtype=np.int32)
             seg_id = np.full(nc, b_pad, dtype=np.int32)
             seg_start = np.zeros(nc, dtype=bool)
             seg_start[nc_true:] = True
             seg_start_idx = np.arange(nc, dtype=np.int32)
-            sym_tbl = np.zeros((b_pad + 1, A), dtype=np.int32)
             ns = np.ones(b_pad + 1, dtype=np.int32)
             ms = np.ones(b_pad + 1, dtype=np.int32)
             ms[b_pad] = 0
             shifts = np.zeros(b_pad, dtype=np.int32)
-            fn, kcp = _decode_flat(nc, nmax, b_pad, DECODE_CHUNK_BITS, maxl)
+            fn, kcp = _decode_flat(nc, nmax, b_pad, DECODE_CHUNK_BITS, maxl,
+                                   stride_g)
             cps = np.zeros((b_pad, kcp), dtype=np.int32)
 
             for row, (i, (c0, nc_b)) in enumerate(zip(idxs, spans)):
@@ -274,12 +486,10 @@ class JaxBackend:
                 buf = b["payload"] + b"\x00" * (nc_b * wbytes - len(b["payload"]))
                 words[c0 * wbytes // 4:(c0 + nc_b) * wbytes // 4] = np.frombuffer(
                     buf, dtype=">u4").astype(np.uint32)
-                t = ops_huf.decode_tables(np.asarray(b["lens"]))
-                count_t[:, c0:c0 + nc_b] = t["count"][:, None]
+                lens_all[row, : np.asarray(b["lens"]).size] = np.asarray(b["lens"])
                 seg_id[c0:c0 + nc_b] = row
                 seg_start[c0] = True
                 seg_start_idx[c0:c0 + nc_b] = c0
-                sym_tbl[row] = t["sym"][:A]
                 ns[row] = int(b["orig_len"])
                 ms[row] = int(b["rle_len"])
                 shifts[row] = int(b["shift"])
@@ -288,11 +498,14 @@ class JaxBackend:
                     cc = np.asarray(bc, dtype=np.int32)[:kcp]
                     cps[row, : cc.size] = cc
 
-            data = fn(jnp.asarray(words), jnp.asarray(count_t),
+            data = fn(jnp.asarray(words), jnp.asarray(lens_all),
                       jnp.asarray(seg_start), jnp.asarray(seg_start_idx),
-                      jnp.asarray(seg_id), jnp.asarray(sym_tbl),
+                      jnp.asarray(seg_id),
                       jnp.asarray(ms), jnp.asarray(ns), jnp.asarray(shifts),
                       jnp.asarray(cps))
+            pending.append((idxs, ns, data))
+
+        for idxs, ns, data in pending:
             data_np = np.asarray(data)
             for row, i in enumerate(idxs):
                 results[i] = data_np[row, : int(ns[row])]
@@ -311,8 +524,7 @@ class JaxBackend:
         # inverse transforms only (doubling iBWT — degenerate inputs may be
         # periodic, where cursor checkpoints are undefined)
         for nmax, s_idxs in sgroups.items():
-          for s0 in range(0, len(s_idxs), MAX_DISPATCH_BLOCKS):
-            idxs = s_idxs[s0:s0 + MAX_DISPATCH_BLOCKS]
+          for idxs in _chunks(s_idxs):
             b_real = len(idxs)
             b_pad = _next_pow2(b_real)
             batch = np.zeros((b_pad, nmax), dtype=np.int32)

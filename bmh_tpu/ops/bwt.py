@@ -64,7 +64,178 @@ def _stable_sort3(key1, key2, payload):
 # Cursor stride of the checkpointed inverse walk: the forward transform
 # records rank[(j*CURSOR_STRIDE) % n] so the inverse can run one independent
 # LF-walk cursor per stride instead of the O(N log N) permutation doubling.
-CURSOR_STRIDE = 4096
+# Config-driven (BMH_CURSOR_STRIDE); the container records each file's
+# stride so decoders never guess.
+from ..utils import config as _config_mod
+
+CURSOR_STRIDE = _config_mod.DEFAULT.cursor_stride
+
+
+def _init_rank(data: jax.Array, n: jax.Array) -> jax.Array:
+    """Initial ranks: the first TWO bytes of each rotation packed into 16
+    bits (one fewer doubling round than single-byte init); pads get huge
+    distinct ranks so they sort last."""
+    nmax = data.shape[0]
+    pos = jnp.arange(nmax, dtype=jnp.int32)
+    real = pos < n
+    # next byte of each rotation as a cyclic shift + one elementwise fix-up
+    # (a clip-gather formulation of the same read traced at 45 ms — rolls
+    # are dynamic slices, not gathers)
+    nxt_byte = jnp.where(pos == n - 1, data[0],
+                         jnp.roll(data, -1)).astype(jnp.int32)
+    pair = data.astype(jnp.int32) * 256 + nxt_byte
+    return jnp.where(real, pair, 65536 + pos)
+
+
+def _round_body(state, n, nmax):
+    """One prefix-doubling round.
+
+    Ranks use the *head-index* convention from the first round on: rank[i] =
+    sorted position of the first member of i's tie group.  Unlike dense
+    cumsum ranks, head-index ranks of resolved positions never change again,
+    which is what lets `sparse_refine` later update only tied positions.
+    Also carries a per-position `tied` mask (is i in a group of size > 1)
+    so the caller can compact unresolved positions without extra passes.
+    """
+    rank, _, h, _ = state
+    pos = jnp.arange(nmax, dtype=jnp.int32)
+    real = pos < n
+    # rank2[i] = rank[(i + h) mod n] for the real region.  Two notes:
+    # *  `%` by a traced divisor lowers to a ~35ms software sequence per
+    #    786K elements on TPU; h mod n is one scalar division instead.
+    # *  a cyclic shift is two dynamic slices (jnp.roll), not a random
+    #    gather: roll(rank, -h) covers i < n-h, roll(rank, n-h) covers the
+    #    wrapped tail i in [n-h, n) — both read within the real region.
+    h_mod = h % jnp.maximum(n, 1)
+    lo = jnp.roll(rank, -h_mod)            # rank[i + h]        (i < n - h)
+    hi = jnp.roll(rank, n - h_mod)         # rank[i + h - n]    (i >= n - h)
+    rank2 = jnp.where(pos < n - h_mod, lo, hi)
+    rank2 = jnp.where(real, rank2, INT32_BIG)
+    k1, k2, order = _stable_sort3(rank, rank2, pos)
+    changed = jnp.concatenate([
+        jnp.zeros(1, dtype=jnp.bool_),
+        (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1]),
+    ])
+    # head-index rank: sorted index of the tie group's first member
+    new_rank_sorted = jax.lax.cummax(jnp.where(changed, pos, 0))
+    eq_prev = jnp.logical_not(changed) & (pos > 0)
+    tied_sorted = eq_prev | jnp.concatenate([eq_prev[1:], jnp.zeros(1, jnp.bool_)])
+    # inverse-permute back to position order by *sorting* on the (unique)
+    # position payload: a second sort is ~2x cheaper than the 4M-element
+    # random scatter it replaces (traced: 20.5 ms/round scatter fusion vs
+    # 5.6+3.8 ms for the round's sort pair).  rank and tied share one
+    # packed payload (rank < nmax <= 2^21 always) so the sort moves two
+    # arrays, not three.
+    _, packed = jax.lax.sort(
+        (order, (new_rank_sorted << 1) | tied_sorted.astype(jnp.int32)),
+        num_keys=1)
+    new_rank = packed >> 1
+    tied = packed & 1
+    n_distinct = jnp.sum(jnp.where(real, changed, False).astype(jnp.int32))
+    done = n_distinct >= n - 1
+    return new_rank, tied, h * 2, done
+
+
+def bwt_rounds(data: jax.Array, n: jax.Array, h_stop: int | None = None):
+    """Prefix-doubling rounds until ranks are distinct (or h >= h_stop).
+
+    Returns (rank (Nmax,) int32 head-index ranks, tied (Nmax,) int32 mask of
+    positions in tie groups of size > 1, h int32 next gap, done bool).
+    With h_stop=None this runs to full convergence (or h >= Nmax).
+    """
+    nmax = data.shape[0]
+    rank = _init_rank(data, n)
+    h_cap = nmax if h_stop is None else min(h_stop, nmax)
+
+    def cond(state):
+        _, _, h, done = state
+        return jnp.logical_and(h < h_cap, jnp.logical_not(done))
+
+    # initial done: n <= 1 means ranks are trivially distinct already (also
+    # keeps the carry's mesh-varying type stable under shard_map); h starts
+    # at 2 because the initial ranks already order 2-byte prefixes
+    state = (rank, jnp.zeros(nmax, jnp.int32), jnp.int32(2), n <= 1)
+    return jax.lax.while_loop(cond, lambda s: _round_body(s, n, nmax), state)
+
+
+def bwt_rounds_resume(rank: jax.Array, tied: jax.Array, h: jax.Array,
+                      done: jax.Array, n: jax.Array,
+                      h_stop: int | None = None):
+    """Continue full doubling rounds from a (rank, tied, h, done) state."""
+    nmax = rank.shape[0]
+    h_cap = nmax if h_stop is None else min(h_stop, nmax)
+
+    def cond(state):
+        _, _, hh, dd = state
+        return jnp.logical_and(hh < h_cap, jnp.logical_not(dd))
+
+    return jax.lax.while_loop(cond, lambda s: _round_body(s, n, nmax),
+                              (rank, tied, h, done))
+
+
+def sparse_refine(rank: jax.Array, blk: jax.Array, pos: jax.Array,
+                  hm0: jax.Array, ns: jax.Array, h0: jax.Array) -> jax.Array:
+    """Finish prefix doubling by refining only the tied positions.
+
+    After a few full rounds, text blocks leave ~1-5% of positions in tie
+    groups (measured per ARCHITECTURE.md); a tie group at gap 2h consists
+    only of positions tied at gap h, so later rounds need only sort the
+    compacted tied set — O(M log M) per round instead of O(N log N).  The
+    host compacts (block, position) pairs across the whole batch into one
+    padded (M,) set; this refines ranks in place until all compact
+    subgroups are singletons (or the gap exceeds the padded block size,
+    the periodic-block case).
+
+    rank: (B, Nmax) int32 head-index ranks (see _round_body) — the head
+          convention is what makes in-place group refinement sound: the
+          head rank r1 of a group IS the group's first global sorted index,
+          so refined ranks are r1 + (subgroup offset within the group).
+    blk/pos: (M,) int32 compact entries; pads carry blk == B.
+    hm0:  (M,) int32 = h0 mod ns[blk], computed host-side (a vector `%` by
+          a traced divisor is a ~35ms software sequence on TPU; the loop
+          then maintains it with one conditional subtract per round).
+    ns:   (B,) int32 true block lengths.  h0: scalar int32 starting gap.
+    Returns the refined (B, Nmax) rank array.
+    """
+    b, nmax = rank.shape
+    m = blk.shape[0]
+    midx = jnp.arange(m, dtype=jnp.int32)
+    valid = blk < b
+    nb = ns[jnp.clip(blk, 0, b - 1)]
+    flat_pos = jnp.clip(blk, 0, b - 1) * nmax + pos
+    pad_key = jnp.int32(b * nmax) + midx  # distinct, sorts last
+
+    def body(state):
+        rank_flat, hm, h, _ = state
+        p2 = pos + hm
+        p2 = jnp.where(p2 >= nb, p2 - nb, p2)
+        r1 = rank_flat[flat_pos]
+        r2 = rank_flat[jnp.clip(blk, 0, b - 1) * nmax + p2]
+        k1 = jnp.where(valid, blk * nmax + r1, pad_key)
+        k2 = jnp.where(valid, r2, 0)
+        sk1, sk2, sidx = _stable_sort3(k1, k2, midx)
+        ch1 = jnp.concatenate([jnp.zeros(1, jnp.bool_), sk1[1:] != sk1[:-1]])
+        ch12 = ch1 | jnp.concatenate([jnp.zeros(1, jnp.bool_), sk2[1:] != sk2[:-1]])
+        head1 = jax.lax.cummax(jnp.where(ch1, midx, 0))
+        head12 = jax.lax.cummax(jnp.where(ch12, midx, 0))
+        blk_s = blk[sidx]
+        valid_s = blk_s < b
+        r1_s = sk1 - blk_s * nmax
+        new_rank_s = r1_s + (head12 - head1)
+        target = jnp.where(valid_s, blk_s * nmax + pos[sidx], b * nmax)
+        rank_flat = rank_flat.at[target].set(new_rank_s, mode="drop")
+        done = jnp.all(ch12 | (midx == 0))
+        hm2 = hm * 2
+        hm = jnp.where(hm2 >= nb, hm2 - nb, hm2)
+        return rank_flat, hm, h * 2, done
+
+    def cond(state):
+        _, _, h, done = state
+        return jnp.logical_and(h < nmax, jnp.logical_not(done))
+
+    state = (rank.reshape(-1), hm0, h0, jnp.bool_(False))
+    rank_flat, _, _, _ = jax.lax.while_loop(cond, body, state)
+    return rank_flat.reshape(b, nmax)
 
 
 def _bwt_ranks(data: jax.Array, n: jax.Array):
@@ -72,52 +243,9 @@ def _bwt_ranks(data: jax.Array, n: jax.Array):
     nmax = data.shape[0]
     pos = jnp.arange(nmax, dtype=jnp.int32)
     real = pos < n
-    # initial ranks: the first TWO bytes of each rotation packed into 16 bits
-    # (one fewer doubling round than single-byte init); pads get huge
-    # distinct ranks so they sort last
-    nxt1 = jnp.where(pos + 1 >= n, pos + 1 - n, pos + 1)
-    pair = data.astype(jnp.int32) * 256 + data[jnp.clip(nxt1, 0, nmax - 1)].astype(jnp.int32)
-    rank = jnp.where(real, pair, 65536 + pos)
-
-    def round_body(state):
-        rank, h, _ = state
-        # rank2[i] = rank[(i + h) mod n] for the real region.  Two notes:
-        # *  `%` by a traced divisor lowers to a ~35ms software sequence per
-        #    786K elements on TPU; h mod n is one scalar division instead.
-        # *  a cyclic shift is two dynamic slices (jnp.roll), not a random
-        #    gather: roll(rank, -h) covers i < n-h, roll(rank, n-h) covers the
-        #    wrapped tail i in [n-h, n) — both read within the real region.
-        h_mod = h % jnp.maximum(n, 1)
-        lo = jnp.roll(rank, -h_mod)            # rank[i + h]        (i < n - h)
-        hi = jnp.roll(rank, n - h_mod)         # rank[i + h - n]    (i >= n - h)
-        rank2 = jnp.where(pos < n - h_mod, lo, hi)
-        rank2 = jnp.where(real, rank2, INT32_BIG)
-        k1, k2, order = _stable_sort3(rank, rank2, pos)
-        changed = jnp.concatenate([
-            jnp.zeros(1, dtype=jnp.int32),
-            ((k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])).astype(jnp.int32),
-        ])
-        new_rank_sorted = jnp.cumsum(changed)
-        # inverse-permute rank back to position order by *sorting* on the
-        # (unique) position payload: a second sort is ~2x cheaper than the
-        # 4M-element random scatter it replaces (traced: 20.5 ms/round
-        # scatter fusion vs 5.6+3.8 ms for the round's sort pair).
-        _, new_rank = jax.lax.sort((order, new_rank_sorted), num_keys=1)
-        n_real_ranks = new_rank_sorted[jnp.maximum(n - 1, 0)]  # rank of last real element
-        done = n_real_ranks >= n - 1
-        return new_rank, h * 2, done
-
-    def cond(state):
-        _, h, done = state
-        return jnp.logical_and(h < nmax, jnp.logical_not(done))
-
-    # initial done: n <= 1 means ranks are trivially distinct already (also
-    # keeps the carry's mesh-varying type stable under shard_map); h starts
-    # at 2 because the initial ranks already order 2-byte prefixes
-    rank, _, _ = jax.lax.while_loop(cond, round_body, (rank, jnp.int32(2), n <= 1))
-
+    rank, _, _, _ = bwt_rounds(data, n)
     # final order: by rank, ties by index (stable) — equal full rotations
-    _, _, order = _stable_sort3(rank, pos, pos)
+    _, order = jax.lax.sort((rank, pos), num_keys=1, is_stable=True)
     return rank, order, real, pos
 
 
@@ -156,16 +284,35 @@ def bwt_forward_cp(data: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array,
     bool).  cps[j] = rank[((j+1)*CURSOR_STRIDE) % n]; entries past
     ceil(n/CURSOR_STRIDE)-1 are don't-care.
     """
+    rank, _, _, _ = bwt_rounds(data, n)
+    return bwt_finish_cp(data, n, rank)
+
+
+def bwt_finish_cp(data: jax.Array, n: jax.Array, rank: jax.Array):
+    """bwt_forward_cp tail for precomputed final ranks (the sparse-doubling
+    pipeline runs bwt_rounds / sparse_refine separately, then this).
+
+    Gather-free: the previous byte of every rotation rides through the
+    final sort as its payload (so the last column needs no 4M random
+    gather — traced 45 ms), the sorted keys themselves serve the
+    aperiodicity test (another 43 ms gather gone), and the shift is just
+    rank[0] — with head-index ranks and the stable (rank, pos) order,
+    rotation 0 (pos 0) is the first member of its tie group, whose head
+    index IS its sorted position."""
     nmax = data.shape[0]
     k = max(nmax // CURSOR_STRIDE, 1)
-    rank, order, real, pos = _bwt_ranks(data, n)
-    prev_idx = jnp.where(order == 0, n - 1, order - 1)
-    last = jnp.where(real, data[jnp.clip(prev_idx, 0, nmax - 1)], 0).astype(jnp.uint8)
-    shift = jnp.sum(jnp.where(order == 0, pos, 0)).astype(jnp.int32)
+    pos = jnp.arange(nmax, dtype=jnp.int32)
+    real = pos < n
+    # prev[i] = data[(i-1) mod n] — a roll plus one scalar fix-up
+    prev = jnp.roll(data, 1).at[0].set(data[jnp.clip(n - 1, 0, nmax - 1)])
+    rank_sorted, _, last_sorted = _stable_sort3(rank, pos, prev.astype(jnp.int32))
+    last = jnp.where(real, last_sorted, 0).astype(jnp.uint8)
+    # n <= 1 blocks skip the rounds loop entirely, so their rank is still
+    # the raw 2-byte init (not head-index); their shift is trivially 0
+    shift = jnp.where(n <= 1, 0, rank[0]).astype(jnp.int32)
 
     # aperiodic <=> real ranks are pairwise distinct <=> sorted real ranks
-    # strictly increase (order holds positions sorted by (rank, pos))
-    rank_sorted = rank[order]
+    # strictly increase (pads hold distinct ranks in [n, nmax) and sort last)
     adj_equal = (rank_sorted[1:] == rank_sorted[:-1]) & (pos[1:] < n)
     aperiodic = jnp.logical_not(jnp.any(adj_equal))
 
@@ -175,8 +322,36 @@ def bwt_forward_cp(data: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array,
     return last, shift, cps, aperiodic
 
 
+_LF_MASK = jnp.uint32((1 << 23) - 1)
+
+
+def _lf_map_packed(last: jax.Array, n: jax.Array) -> jax.Array:
+    """LF mapping (the reference's l_shift, main.cpp:65-67) as ONE packed
+    single-array sort: key = (byte | 256-for-pads) << 23 | position.  The
+    position payload rides in the key's low bits (Nmax <= 2^23 always —
+    blocks cap at 2 MiB), so the sort moves one uint32 array instead of a
+    (key, payload) pair and ties need no stability flag — keys are distinct
+    and position order within equal bytes is the stable order by
+    construction.
+
+    The packed form doubles as the walk table: entry r is
+    (last[l_shift[r]] << 23) | l_shift[r], so one gather per LF step yields
+    both the next row AND the byte that step emits — the separate 4M
+    random output gather (traced 45 ms) disappears."""
+    nmax = last.shape[0]
+    assert nmax <= (1 << 23), "packed LF sort needs Nmax <= 2^23"
+    pos = jnp.arange(nmax, dtype=jnp.uint32)
+    key = jnp.where(pos < n.astype(jnp.uint32), last.astype(jnp.uint32),
+                    jnp.uint32(256))
+    return jax.lax.sort((key << 23) | pos)
+
+
+def _lf_map(last: jax.Array, n: jax.Array) -> jax.Array:
+    return (_lf_map_packed(last, n) & _LF_MASK).astype(jnp.int32)
+
+
 def bwt_inverse_cursors(last: jax.Array, shift: jax.Array, cps: jax.Array,
-                        n: jax.Array) -> jax.Array:
+                        n: jax.Array, stride: int | None = None) -> jax.Array:
     """Inverse BWT via checkpointed parallel LF-walk cursors.
 
     Cursor j reproduces output positions [j*CURSOR_STRIDE, (j+1)*CURSOR_STRIDE):
@@ -187,25 +362,24 @@ def bwt_inverse_cursors(last: jax.Array, shift: jax.Array, cps: jax.Array,
     doubling it performs only O(N) total gather work.
     """
     nmax = last.shape[0]
-    k = max(nmax // CURSOR_STRIDE, 1)
+    stride = CURSOR_STRIDE if stride is None else stride
+    k = max(nmax // stride, 1)
     assert nmax % k == 0, "Nmax must be a power of two"
-    steps = nmax // k  # = CURSOR_STRIDE, or Nmax itself when Nmax < stride
+    steps = nmax // k  # = stride, or Nmax itself when Nmax < stride
     pos = jnp.arange(nmax, dtype=jnp.int32)
     real = pos < n
-    key = jnp.where(real, last.astype(jnp.int32), INT32_BIG)
-    _, _, l_shift = _stable_sort3(key, pos, pos)
-    p = jnp.clip(l_shift, 0, nmax - 1)
+    packed = _lf_map_packed(last, n)  # (byte << 23) | next-row, per row
 
     starts = jnp.concatenate([shift[None].astype(jnp.int32), cps[: k - 1]])
     starts = jnp.clip(starts, 0, nmax - 1)
 
     def step(rows, _):
-        nxt = p[rows]
-        return nxt, nxt
+        g = packed[rows]
+        return (g & _LF_MASK).astype(jnp.int32), g >> 23
 
-    _, orbit = jax.lax.scan(step, starts, None, length=steps)  # (steps, k)
-    orbit_flat = orbit.T.reshape(nmax)  # cursor-major == output order
-    out = jnp.where(real, last[orbit_flat], 0).astype(jnp.uint8)
+    _, emitted = jax.lax.scan(step, starts, None, length=steps)  # (steps, k)
+    bytes_flat = emitted.T.reshape(nmax)  # cursor-major == output order
+    out = jnp.where(real, bytes_flat, 0).astype(jnp.uint8)
     return out
 
 
@@ -219,11 +393,8 @@ def bwt_inverse(last: jax.Array, shift: jax.Array, n: jax.Array) -> jax.Array:
     nmax = last.shape[0]
     pos = jnp.arange(nmax, dtype=jnp.int32)
     real = pos < n
-    key = jnp.where(real, last.astype(jnp.int32), INT32_BIG)
-    _, _, l_shift = _stable_sort3(key, pos, pos)
     # l_shift[r] = original index of r-th smallest; maps real ranks -> real idx
-
-    p_m = jnp.clip(l_shift, 0, nmax - 1)
+    p_m = _lf_map(last, n)
     orbit = jnp.zeros(nmax, dtype=jnp.int32)
     orbit = orbit.at[0].set(p_m[jnp.clip(shift, 0, nmax - 1)])
 

@@ -152,8 +152,117 @@ def decode_tables(lens: np.ndarray) -> dict[str, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
-# Device ops
+# Device-side table construction: the same two-queue method as
+# code_lengths_from_hist, expressed as a 256-step lax.scan so the whole
+# compress pipeline (stage 1 -> lengths -> codes -> bitpack) is ONE device
+# dispatch per batch — no host round-trip between histogram and encode
+# (the reference rebuilds a pointer tree on the host per file,
+# /root/reference/main.cpp:229-257; here 257 symbols x B blocks run as
+# vmapped scalar lanes, ~1 ms per batch).
 # ---------------------------------------------------------------------------
+
+def code_lengths_device(freqs: jax.Array) -> jax.Array:
+    """(A,) int32/int64 histogram -> (A,) int32 optimal code lengths.
+
+    Bit-identical to code_lengths_from_hist: leaves sorted by (freq, sym)
+    stable; pop_min prefers the leaf queue on ties.  Internal-node weights
+    are created in non-decreasing order (the two-queue invariant), so both
+    queues are plain arrays with head pointers.
+    """
+    a = freqs.shape[0]
+    # int32 throughout (jax x64 is off): weights are bounded by the block
+    # size (<= 2^21), so a 2^30 sentinel never collides with a real weight;
+    # sentinel+sentinel overflow can only happen in inactive scan steps,
+    # whose results are discarded
+    f = freqs.astype(jnp.int32)
+    big = jnp.int32(1) << 30
+    iota = jnp.arange(a, dtype=jnp.int32)
+    leafw, leafsym = jax.lax.sort(
+        (jnp.where(f > 0, f, big), iota), num_keys=1, is_stable=True)
+    s = jnp.sum((f > 0).astype(jnp.int32))
+
+    # parent pointers over 2a-1 node slots: leaves 0..a-1 (sorted order),
+    # internal node born at merge t is slot a+t; unmerged slots self-parent
+    n_nodes = 2 * a - 1
+    parent0 = jnp.arange(n_nodes, dtype=jnp.int32)
+    q2_0 = jnp.full(a - 1, big, dtype=jnp.int32)
+
+    def pick(i, j, k, q2):
+        lw = leafw[jnp.clip(i, 0, a - 1)]
+        lw = jnp.where(i < a, lw, big)
+        iw = jnp.where(j < k, q2[jnp.clip(j, 0, a - 2)], big)
+        take_leaf = lw <= iw  # tie -> leaf, as in the host pop_min
+        w = jnp.where(take_leaf, lw, iw)
+        node = jnp.where(take_leaf, i, a + j)
+        return (jnp.where(take_leaf, i + 1, i),
+                jnp.where(take_leaf, j, j + 1), w, node)
+
+    q_iota = jnp.arange(a - 1, dtype=jnp.int32)
+    p_iota = jnp.arange(n_nodes, dtype=jnp.int32)
+
+    def step(carry, t):
+        i, j, k, q2, parent = carry
+        active = t < s - 1
+        i1, j1, aw, an = pick(i, j, k, q2)
+        i2, j2, bw, bn = pick(i1, j1, k, q2)
+        nid = a + t
+        # iota-compare selects, not .at[] scatters: a per-lane scatter per
+        # scan step costs ~0.1ms of dispatch each on TPU; a 257/513-wide
+        # select is fused VPU work
+        q2n = jnp.where(q_iota == k, aw + bw, q2)
+        pn = jnp.where((p_iota == an) | (p_iota == bn), nid, parent)
+        return (jnp.where(active, i2, i), jnp.where(active, j2, j),
+                jnp.where(active, k + 1, k),
+                jnp.where(active, q2n, q2),
+                jnp.where(active, pn, parent)), None
+
+    (_, _, _, _, parent), _ = jax.lax.scan(
+        step, (jnp.int32(0), jnp.int32(0), jnp.int32(0), q2_0, parent0),
+        jnp.arange(a - 1, dtype=jnp.int32))
+
+    # leaf depth = #proper ancestors, by pointer doubling (max depth 256 < 2^9)
+    jump = parent
+    dist = (parent != jnp.arange(n_nodes, dtype=jnp.int32)).astype(jnp.int32)
+    for _ in range(9):
+        dist = dist + dist[jump]
+        jump = jump[jump]
+    lens = jnp.zeros(a, dtype=jnp.int32).at[leafsym].set(dist[:a])
+    return lens
+
+
+def canonical_codes_device(lens: jax.Array) -> jax.Array:
+    """(A,) int32 lengths -> (A,) uint32 canonical code values
+    ((len, symbol)-ordered, same assignment as canonical_code_table)."""
+    a = lens.shape[0]
+    ls = jnp.arange(1, MAX_LEN + 1, dtype=jnp.int32)  # (31,)
+    onehot = lens[None, :] == ls[:, None]              # (31, A)
+    count = jnp.sum(onehot, axis=1).astype(jnp.uint32)
+    # first[l] = canonical first code of length l: code=0; for l: first[l]=code;
+    # code=(code+count[l])<<1 — a tiny 31-step scan
+    def fstep(code, c):
+        return (code + c) << 1, code
+    _, first = jax.lax.scan(fstep, jnp.uint32(0), count)
+    rank_in_len = (jnp.cumsum(onehot.astype(jnp.uint32), axis=1) - onehot)
+    sel = jnp.sum(jnp.where(onehot, first[:, None] + rank_in_len, 0),
+                  axis=0, dtype=jnp.uint32)
+    return jnp.where(lens > 0, sel, 0).astype(jnp.uint32)
+
+
+def decode_tables_device(lens: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(A,) int32 lengths -> (count (32,) int32 per-length codeword counts,
+    sym (A,) int32 (len, symbol)-ordered symbol list) — the device analogue
+    of decode_tables, so decompress needs no host-side per-block table
+    loop."""
+    a = lens.shape[0]
+    iota = jnp.arange(a, dtype=jnp.int32)
+    count = jnp.sum(lens[None, :] == jnp.arange(32, dtype=jnp.int32)[:, None],
+                    axis=1, dtype=jnp.int32)
+    count = count.at[0].set(0)
+    _, sym = jax.lax.sort(
+        (jnp.where(lens > 0, lens, jnp.int32(64)), iota),
+        num_keys=1, is_stable=True)
+    return count, sym
+
 
 def histogram(data: jax.Array, n: jax.Array, bins: int = ALPHABET) -> jax.Array:
     """Masked histogram (reference: main.cpp:235-237).
@@ -185,8 +294,17 @@ def encode_bitpack(data: jax.Array, n: jax.Array, len_tbl: jax.Array,
     w_out = words_cap(nmax)
     pos = jnp.arange(nmax, dtype=jnp.int32)
     sym = data.astype(jnp.int32)
-    ln = jnp.where(pos < n, len_tbl[sym], 0)
-    code = jnp.where(pos < n, code_tbl[sym], jnp.uint32(0))
+    # table lookups as compare-select reductions, not gathers: a 4M random
+    # gather costs ~42 ms on TPU while an (N, A) compare+masked-sum fuses
+    # into a few-ms VPU pass (same structure as `histogram` below); both
+    # sums share the one compare mask
+    a_iota = jnp.arange(len_tbl.shape[0], dtype=jnp.int32)
+    eq = sym[:, None] == a_iota[None, :]
+    ln = jnp.sum(jnp.where(eq, len_tbl[None, :], 0), axis=1)
+    code = jnp.sum(jnp.where(eq, code_tbl[None, :], jnp.uint32(0)), axis=1,
+                   dtype=jnp.uint32)
+    ln = jnp.where(pos < n, ln, 0)
+    code = jnp.where(pos < n, code, jnp.uint32(0))
     offs = jnp.cumsum(ln) - ln  # exclusive
     total_bits = jnp.sum(ln).astype(jnp.int32)
 
@@ -235,20 +353,22 @@ def unpack_bit_tiles_flat(words: jax.Array, chunk_bits: int) -> jax.Array:
     return jnp.concatenate([tile, nxt], axis=1).T  # (steps, NC)
 
 
-def gap_decode_flat(tiles: jax.Array, count_t: jax.Array,
+def gap_decode_flat(words: jax.Array, count_t: jax.Array,
                     seg_start: jax.Array, seg_start_idx: jax.Array,
                     seg_id: jax.Array, sym_tbl: jax.Array, n: jax.Array,
                     nmax: int, chunk_bits: int,
                     maxl: int = MAX_LEN) -> jax.Array:
     """Parallel canonical Huffman decode over a flattened chunk axis.
 
-    All blocks of a batch contribute their chunks to one (steps, NC) tile
-    array — no per-block padding to a common chunk count.  Phase A decodes
-    every (gap, chunk) lane; a *segmented* associative scan chains exit gaps
+    All blocks of a batch contribute their chunks to one flat axis — no
+    per-block padding to a common chunk count.  Phase A decodes every
+    (gap, chunk) lane; a *segmented* associative scan chains exit gaps
     within each block; phase B re-decodes the winning lane and symbols are
-    scattered straight into the (B, nmax) code matrix.
+    scattered straight into the (B, nmax) code matrix.  On TPU the Pallas
+    kernels unpack bits in VMEM from the packed words (words_ext layout);
+    the XLA scan fallback unpacks to bit tiles.
 
-    tiles:     (chunk_bits+GAPS, NC) int32 from unpack_bit_tiles_flat
+    words:     (NC * chunk_bits/32,) uint32 packed payload words
     count_t:   (32, NC) int32 — each chunk's block's per-length counts
     seg_start: (NC,) bool — True at each block's first chunk
     seg_start_idx: (NC,) int32 — index of own block's first chunk
@@ -259,13 +379,15 @@ def gap_decode_flat(tiles: jax.Array, count_t: jax.Array,
     """
     from . import pallas_decode
 
-    steps, nc = tiles.shape
+    nc = count_t.shape[1]
     b = sym_tbl.shape[0]
 
     if _use_pallas_decode():
+        wext = pallas_decode.words_ext(words, chunk_bits)
         cnt_map, exit_map = pallas_decode.phase_a(
-            tiles, count_t, chunk_bits=chunk_bits, maxl=maxl, interpret=False)
+            wext, count_t, chunk_bits=chunk_bits, maxl=maxl, interpret=False)
     else:
+        tiles = unpack_bit_tiles_flat(words, chunk_bits)
         cnt_map, exit_map = pallas_decode.phase_a_scan(
             tiles, count_t, chunk_bits=chunk_bits, maxl=maxl)
 
@@ -293,7 +415,7 @@ def gap_decode_flat(tiles: jax.Array, count_t: jax.Array,
 
     if _use_pallas_decode():
         idxs = pallas_decode.phase_b(
-            tiles, count_t, entry, chunk_bits=chunk_bits, maxl=maxl,
+            wext, count_t, entry, chunk_bits=chunk_bits, maxl=maxl,
             interpret=False)
     else:
         idxs = pallas_decode.phase_b_scan(
@@ -309,8 +431,13 @@ def gap_decode_flat(tiles: jax.Array, count_t: jax.Array,
     out = jnp.zeros(flat_cap + 1, dtype=jnp.int32)
     out = out.at[target.reshape(-1)].set(idxs.reshape(-1), mode="drop")
     cidx = out[:flat_cap].reshape(b, nmax)
-    # canonical index -> symbol, per block (pad rows read sym_tbl[b][0]: masked
-    # downstream by n)
+    # canonical index -> symbol, per block, as a compare-select reduction
+    # over the 257-row table (a 4M per-row gather traced at 44 ms; the
+    # fused (B, nmax, A) masked sum runs in a few ms) — pad rows resolve to
+    # sym_tbl[b][0], masked downstream by n
     amax = sym_tbl.shape[1] - 1
-    codes = jnp.take_along_axis(sym_tbl, jnp.clip(cidx, 0, amax), axis=1)
+    ci = jnp.clip(cidx, 0, amax)
+    a_iota = jnp.arange(sym_tbl.shape[1], dtype=jnp.int32)
+    codes = jnp.sum(jnp.where(ci[:, :, None] == a_iota[None, None, :],
+                              sym_tbl[:, None, :], 0), axis=-1)
     return codes.astype(jnp.int32)

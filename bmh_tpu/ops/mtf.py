@@ -71,16 +71,23 @@ def mtf_forward(data: jax.Array, n: jax.Array, chunk: int = DEFAULT_CHUNK) -> ja
     chunks = sym.reshape(k, m)
     e = jnp.concatenate([prefix_syms, chunks], axis=-1)  # (k, ext)
 
-    # prev occurrence within the extended chunk, via a per-chunk stable sort
+    # prev occurrence within the extended chunk, via per-chunk PACKED
+    # single-array sorts: (symbol << sh) | position sorts by symbol with
+    # positions as tie-break, and the inverse permutation comes from a
+    # second packed sort on (position << sh) | value — the (k, ext)-sized
+    # scatter this replaces traced at 61 ms for the corpus batch
+    sh = max(ext.bit_length(), 1)  # fits position AND prev+1 (both <= ext)
     j_idx = jnp.broadcast_to(jnp.arange(ext, dtype=jnp.int32), (k, ext))
-    sv, sj = jax.lax.sort((e, j_idx), num_keys=1, is_stable=True, dimension=-1)
+    ps = jax.lax.sort((e << sh) | j_idx, dimension=-1)
+    sv = ps >> sh
+    sj = ps & ((1 << sh) - 1)
     same = jnp.concatenate([
         jnp.zeros((k, 1), dtype=jnp.bool_),
         sv[:, 1:] == sv[:, :-1],
     ], axis=-1)
     prev_sorted = jnp.where(same, jnp.pad(sj, ((0, 0), (1, 0)))[:, :-1], -1)
-    row = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[:, None], (k, ext))
-    prev = jnp.zeros((k, ext), dtype=jnp.int32).at[row, sj].set(prev_sorted)
+    prev = (jax.lax.sort((sj << sh) | (prev_sorted + 1), dimension=-1)
+            & ((1 << sh) - 1)) - 1
 
     # windowed distinct count: for real position i (local index 256+t),
     # code = sum_j (prev[i] < j < i) & (prev[j] <= prev[i])
@@ -114,9 +121,33 @@ def _rot_apply(q: jax.Array, c: jax.Array, q_c: jax.Array) -> jax.Array:
     return jnp.where(p == 0, q_c[:, None], jnp.where(p <= c[:, None], q_shift, q))
 
 
+def _use_pallas_imtf() -> bool:
+    import jax as _jax
+
+    from ..utils import config as config_mod
+
+    if not config_mod.DEFAULT.pallas_imtf:
+        return False
+    try:
+        return _jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def mtf_inverse(codes: jax.Array, n: jax.Array, chunk: int = DEFAULT_CHUNK) -> jax.Array:
     """Parallel MTF decode. codes: (Nmax,) uint8; returns (Nmax,) uint8 symbols."""
     nmax = codes.shape[0]
+    from . import pallas_mtf
+
+    if _use_pallas_imtf() and nmax >= pallas_mtf.TILE:
+        # VMEM-resident in-chunk scan; a bigger chunk costs the kernel
+        # nothing and shrinks the cross-chunk composition below.  Pick the
+        # chunk so the lane count k stays a multiple of the kernel TILE
+        # (nmax is always a power of two here).
+        from ..utils import config as config_mod
+
+        k0 = max(nmax // config_mod.DEFAULT.imtf_chunk, pallas_mtf.TILE)
+        chunk = max(nmax // k0, 1)
     assert nmax % chunk == 0
     k = nmax // chunk
     m = chunk
@@ -124,12 +155,16 @@ def mtf_inverse(codes: jax.Array, n: jax.Array, chunk: int = DEFAULT_CHUNK) -> j
 
     ident = jnp.broadcast_to(jnp.arange(ALPHABET, dtype=jnp.int32), (k, ALPHABET))
 
-    def step(q, c):
-        # y = q[c]: position in the chunk's incoming list of this step's symbol
-        y = _step_select(q, c)
-        return _rot_apply(q, c, y), y
+    if _use_pallas_imtf() and k % pallas_mtf.TILE == 0:
+        ys, qf = pallas_mtf.imtf_chunks(c_chunks, interpret=False)
+        pi_full = qf.T  # (k, 256)
+    else:
+        def step(q, c):
+            # y = q[c]: position in the chunk's incoming list of this step
+            y = _step_select(q, c)
+            return _rot_apply(q, c, y), y
 
-    pi_full, ys = jax.lax.scan(step, ident, c_chunks)  # pi_full (k,256), ys (m,k)
+        pi_full, ys = jax.lax.scan(step, ident, c_chunks)  # (k,256), (m,k)
 
     # exclusive prefix composition of whole-chunk permutations:
     # incoming_list[k] = pi_0 ∘ pi_1 ∘ ... ∘ pi_{k-1} applied to identity
@@ -143,7 +178,12 @@ def mtf_inverse(codes: jax.Array, n: jax.Array, chunk: int = DEFAULT_CHUNK) -> j
     else:
         incoming = ident[:1]
 
-    syms = jnp.take_along_axis(incoming, ys.T, axis=-1)  # (k, m)
+    # incoming-list lookup as a compare-select reduction (per-row gathers
+    # of (k, m) indices from (k, 256) traced at 43 ms; the fused masked sum
+    # over the 256 axis runs in a few ms)
+    p_iota = jnp.arange(ALPHABET, dtype=jnp.int32)
+    syms = jnp.sum(jnp.where(ys.T[:, :, None] == p_iota[None, None, :],
+                             incoming[:, None, :], 0), axis=-1)  # (k, m)
     out = syms.reshape(nmax).astype(jnp.uint8)
     pos = jnp.arange(nmax, dtype=jnp.int32)
     return jnp.where(pos < n, out, 0).astype(jnp.uint8)

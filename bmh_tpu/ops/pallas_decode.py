@@ -67,7 +67,17 @@ def _count_at(ln, count_rows, maxl: int):
     return acc
 
 
-def _phase_a_kernel(tiles_ref, count_ref, cnt_out, exit_out,
+def _bit_at(words_ref, t, lane_shape):
+    """Bit t of each lane's chunk, unpacked in-kernel from packed uint32
+    words (MSB-first): words_ref row t>>5, bit 31-(t&31).  Replaces the
+    (steps, NC) pre-unpacked bit-tile input — 32x less HBM traffic in and
+    no 17x tile materialization fusion outside the kernel."""
+    w = words_ref[t >> 5, :].reshape(1, lane_shape[-1])
+    sh = (31 - (t & 31)).astype(jnp.uint32)
+    return ((w >> sh) & jnp.uint32(1)).astype(jnp.int32)
+
+
+def _phase_a_kernel(words_ref, count_ref, cnt_out, exit_out,
                     r_s, ln_s, c_s, cnt_s, ex_s, *, chunk_bits: int, maxl: int):
     steps = chunk_bits + GAPS
     t_shape = r_s.shape  # (GAPS, TILE_A)
@@ -80,7 +90,7 @@ def _phase_a_kernel(tiles_ref, count_ref, cnt_out, exit_out,
     ex_s[...] = zero - 1
 
     def body(t, _):
-        bit = tiles_ref[t, :].reshape(1, t_shape[1])
+        bit = _bit_at(words_ref, t, t_shape)
         r = r_s[...]
         ln = ln_s[...]
         c = c_s[...]
@@ -106,7 +116,7 @@ def _phase_a_kernel(tiles_ref, count_ref, cnt_out, exit_out,
     exit_out[...] = jnp.clip(ex_s[...], 0, GAPS - 1)
 
 
-def _phase_b_kernel(tiles_ref, count_ref, entry_ref, idx_out,
+def _phase_b_kernel(words_ref, count_ref, entry_ref, idx_out,
                     r_s, ln_s, c_s, o_s, done_s, *, chunk_bits: int, maxl: int):
     steps = chunk_bits + GAPS
     t_shape = r_s.shape  # (8, TILE_B)
@@ -119,7 +129,9 @@ def _phase_b_kernel(tiles_ref, count_ref, entry_ref, idx_out,
     done_s[...] = zero
 
     def body(t, _):
-        bit = tiles_ref[t, 0]
+        w = words_ref[t >> 5, 0]  # (8, TILE_B) uint32
+        sh = (31 - (t & 31)).astype(jnp.uint32)
+        bit = ((w >> sh) & jnp.uint32(1)).astype(jnp.int32)
         r = r_s[...]
         ln = ln_s[...]
         c = c_s[...]
@@ -145,13 +157,31 @@ def _phase_b_kernel(tiles_ref, count_ref, entry_ref, idx_out,
     jax.lax.fori_loop(0, steps, body, 0)
 
 
+def words_ext(words: jax.Array, chunk_bits: int) -> jax.Array:
+    """(W,) uint32 payload words -> (wpc+1, NC) uint32, word-time-major.
+
+    Row w holds word w of every chunk; the extra last row is the FIRST word
+    of the following chunk, covering the GAPS(=32)-bit codeword lookahead
+    past each chunk cut (GAPS == one word).  The kernels unpack bits from
+    this in VMEM (_bit_at) instead of reading pre-unpacked bit tiles.
+    """
+    assert GAPS == 32
+    wpc = chunk_bits // 32
+    nwords = words.shape[0]
+    nc = nwords // wpc
+    assert nc * wpc == nwords, "pad words to a multiple of chunk_bits"
+    wmat = words.reshape(nc, wpc)
+    nxt = jnp.concatenate([wmat[1:, :1], jnp.zeros((1, 1), words.dtype)], axis=0)
+    return jnp.concatenate([wmat, nxt], axis=1).T  # (wpc+1, NC)
+
+
 @functools.partial(jax.jit, static_argnames=("chunk_bits", "maxl", "interpret"))
-def phase_a(tiles, count_t, *, chunk_bits: int, maxl: int = MAX_LEN,
+def phase_a(wext, count_t, *, chunk_bits: int, maxl: int = MAX_LEN,
             interpret: bool = False):
-    """tiles (steps, NC) int32 bits; count_t (32, NC) int32 per-chunk tables.
-    NC must be a multiple of CHUNK_ALIGN.
+    """wext (wpc+1, NC) uint32 from words_ext; count_t (32, NC) int32
+    per-chunk tables.  NC must be a multiple of CHUNK_ALIGN.
     Returns (cnt_map, exit_map), both (GAPS, NC) int32."""
-    steps, nc = tiles.shape
+    wrows, nc = wext.shape
     tile = min(TILE_A, nc)
     assert nc % tile == 0
     grid = (nc // tile,)
@@ -159,7 +189,7 @@ def phase_a(tiles, count_t, *, chunk_bits: int, maxl: int = MAX_LEN,
         functools.partial(_phase_a_kernel, chunk_bits=chunk_bits, maxl=maxl),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((steps, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wrows, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((GAPS, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -170,30 +200,32 @@ def phase_a(tiles, count_t, *, chunk_bits: int, maxl: int = MAX_LEN,
                    jax.ShapeDtypeStruct((GAPS, nc), jnp.int32)),
         scratch_shapes=[pltpu.VMEM((GAPS, tile), jnp.int32) for _ in range(5)],
         interpret=interpret,
-    )(tiles, count_t)
+    )(wext, count_t)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk_bits", "maxl", "interpret"))
-def phase_b(tiles, count_t, entry, *, chunk_bits: int, maxl: int = MAX_LEN,
+def phase_b(wext, count_t, entry, *, chunk_bits: int, maxl: int = MAX_LEN,
             interpret: bool = False):
     """Winning-lane decode: (steps, NC) int32 emitted canonical indices or -1.
 
-    entry: (NC,) int32 true entry gaps.  The chunk axis is viewed as
-    (NC/(8*TILE_B), 8, TILE_B) so each grid step drives 8 sublane rows of
-    TILE_B chunks (full-height VPU tiles from a 1-lane-per-chunk problem).
+    wext: (wpc+1, NC) uint32 from words_ext.  entry: (NC,) int32 true entry
+    gaps.  The chunk axis is viewed as (NC/(8*TILE_B), 8, TILE_B) so each
+    grid step drives 8 sublane rows of TILE_B chunks (full-height VPU tiles
+    from a 1-lane-per-chunk problem).
     """
-    steps, nc = tiles.shape
+    wrows, nc = wext.shape
+    steps = chunk_bits + GAPS
     assert nc % 8 == 0, "pad NC to a multiple of 8 (CHUNK_ALIGN in production)"
     tile_b = min(TILE_B, nc // 8)
     ngb = nc // (8 * tile_b)
-    tiles_v = tiles.reshape(steps, ngb, 8, tile_b)
+    words_v = wext.reshape(wrows, ngb, 8, tile_b)
     count_v = count_t.reshape(GAPS, ngb, 8, tile_b)
     entry_v = entry.reshape(1, ngb, 8, tile_b)
     out = pl.pallas_call(
         functools.partial(_phase_b_kernel, chunk_bits=chunk_bits, maxl=maxl),
         grid=(ngb,),
         in_specs=[
-            pl.BlockSpec((steps, 1, 8, tile_b), lambda i: (0, i, 0, 0),
+            pl.BlockSpec((wrows, 1, 8, tile_b), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GAPS, 1, 8, tile_b), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -205,7 +237,7 @@ def phase_b(tiles, count_t, entry, *, chunk_bits: int, maxl: int = MAX_LEN,
         out_shape=jax.ShapeDtypeStruct((steps, ngb, 8, tile_b), jnp.int32),
         scratch_shapes=[pltpu.VMEM((8, tile_b), jnp.int32) for _ in range(5)],
         interpret=interpret,
-    )(tiles_v, count_v, entry_v)
+    )(words_v, count_v, entry_v)
     return out.reshape(steps, nc)
 
 

@@ -116,10 +116,9 @@ def make_roundtrip_step(mesh, nmax: int, chunk_bits: int = 256,
         seg_id = cidx // nc_b
         seg_start = (cidx % nc_b) == 0
         seg_start_idx = seg_id * nc_b
-        tiles = ops_huf.unpack_bit_tiles_flat(words.reshape(-1), chunk_bits)
         dec_syms = ops_huf.gap_decode_flat(
-            tiles, count_t, seg_start, seg_start_idx, seg_id, sym, ms,
-            nmax, chunk_bits)
+            words.reshape(-1), count_t, seg_start, seg_start_idx, seg_id,
+            sym, ms, nmax, chunk_bits)
 
         def per_block(syms_b, m, shift, cp, n):
             codes_b = ops_rle.rle0_decode(syms_b, m, n)

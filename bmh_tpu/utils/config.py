@@ -29,7 +29,10 @@ def _env_bool(name: str, default: bool) -> bool:
 class CodecConfig:
     """Knobs for the block codec and its device pipeline."""
 
-    block_size: int = field(default_factory=lambda: _env_int("BMH_BLOCK_SIZE", 1 << 20))
+    # 128 KiB is the benched configuration: every TPU artifact (BENCH/TRACE/
+    # PROFILE), the size-win measurement, and the compile cache live at this
+    # block size, so it is also the default (VERDICT r2 item 6)
+    block_size: int = field(default_factory=lambda: _env_int("BMH_BLOCK_SIZE", 1 << 17))
     mtf_chunk: int = field(default_factory=lambda: _env_int("BMH_MTF_CHUNK", 128))
     decode_chunk_bits: int = field(default_factory=lambda: _env_int("BMH_DECODE_CHUNK_BITS", 512))
     backend: str = field(default_factory=lambda: _env_str("BMH_BACKEND", "jax"))
@@ -39,6 +42,24 @@ class CodecConfig:
     # production 128K-1M block sizes on v5e)
     pallas_decode: bool = field(default_factory=lambda: _env_bool("BMH_PALLAS_DECODE", True))
     pallas_sort: bool = field(default_factory=lambda: _env_bool("BMH_PALLAS_SORT", False))
+    # full prefix-doubling rounds before switching to sparse refinement of
+    # the remaining tied positions (ops/bwt.py sparse_refine); measured on
+    # Calgary, text leaves ~1-5% of positions tied after 4 rounds
+    full_rounds: int = field(default_factory=lambda: _env_int("BMH_FULL_ROUNDS", 4))
+    # inverse-MTF: VMEM-resident Pallas in-chunk kernel (TPU) + its chunk
+    # size (the XLA scan path keeps mtf_chunk)
+    pallas_imtf: bool = field(default_factory=lambda: _env_bool("BMH_PALLAS_IMTF", True))
+    imtf_chunk: int = field(default_factory=lambda: _env_int("BMH_IMTF_CHUNK", 1024))
+    # inverse-BWT cursor checkpoint stride: the LF-walk scan runs n/stride
+    # steps (latency-bound through the dispatch queue) at 4/stride bytes of
+    # container overhead per input byte; recorded per file so old strides
+    # stay decodable
+    cursor_stride: int = field(default_factory=lambda: _env_int("BMH_CURSOR_STRIDE", 2048))
+    # RLE1 pre-BWT run collapse (bzip2-style): applied per block when it
+    # strictly shrinks; collapses the long-run inputs that force maximum
+    # doubling rounds (Calgary pic) and shrinks them further
+    rle1: bool = field(default_factory=lambda: _env_bool("BMH_RLE1", True))
+    debug_sparse: bool = field(default_factory=lambda: _env_bool("BMH_DEBUG_SPARSE", False))
 
     def validate(self) -> "CodecConfig":
         if self.block_size < 1:
@@ -51,6 +72,12 @@ class CodecConfig:
             raise ValueError("mtf_chunk must be a power of two")
         if self.decode_chunk_bits % 32:
             raise ValueError("decode_chunk_bits must be a multiple of 32")
+        if not 1 <= self.full_rounds <= 16:
+            raise ValueError("full_rounds must be in [1, 16]")
+        if self.imtf_chunk & (self.imtf_chunk - 1):
+            raise ValueError("imtf_chunk must be a power of two")
+        if self.cursor_stride & (self.cursor_stride - 1) or self.cursor_stride < 64:
+            raise ValueError("cursor_stride must be a power of two >= 64")
         return self
 
     def describe(self) -> str:

@@ -113,39 +113,56 @@ def unpack_lens(buf: bytes, off: int) -> tuple[np.ndarray, np.ndarray, int]:
     return lens, present, off
 
 
+RLE1_FLAG = 0x80000000  # orig_len bit 31: block was RLE1-collapsed pre-BWT
+
+
 def pack_block(orig_len: int, bwt_shift: int, lens: np.ndarray,
                present: np.ndarray, payload: bytes,
-               cps: np.ndarray | None = (), rle_len: int = 0) -> bytes:
+               cps: np.ndarray | None = (), rle_len: int = 0,
+               pre_len: int | None = None) -> bytes:
     """cps: iBWT cursor checkpoints (possibly empty); None marks a periodic
     block whose checkpoints are undefined (decoder falls back).
-    rle_len: RLE0 symbol count of the Huffman stream."""
+    rle_len: RLE0 symbol count of the Huffman stream.
+    pre_len: post-RLE1 length when the run-collapse pre-pass was applied
+    (bit 31 of orig_len flags it; a u32 pre_len follows the header)."""
+    rle1 = pre_len is not None and pre_len != orig_len
+    len_field = orig_len | (RLE1_FLAG if rle1 else 0)
+    pre_bytes = struct.pack("<I", pre_len) if rle1 else b""
     if cps is None:
-        head = BLOCK_HEADER.pack(orig_len, bwt_shift, PERIODIC_SENTINEL, rle_len)
+        head = BLOCK_HEADER.pack(len_field, bwt_shift, PERIODIC_SENTINEL, rle_len)
         cp_bytes = b""
     else:
         cps = np.asarray(cps, dtype=np.uint32)
         if cps.size >= PERIODIC_SENTINEL:
             raise ValueError(f"too many checkpoints ({cps.size}); shrink the block")
-        head = BLOCK_HEADER.pack(orig_len, bwt_shift, cps.size, rle_len)
+        head = BLOCK_HEADER.pack(len_field, bwt_shift, cps.size, rle_len)
         cp_bytes = cps.astype("<u4").tobytes()
-    return head + cp_bytes + pack_lens(lens, present) + payload
+    return head + pre_bytes + cp_bytes + pack_lens(lens, present) + payload
 
 
 def unpack_block(buf: bytes) -> tuple[int, int, np.ndarray, np.ndarray,
-                                      np.ndarray | None, int, bytes]:
-    """Returns (orig_len, bwt_shift, lens, present, cps, rle_len, payload).
+                                      np.ndarray | None, int, bytes, int]:
+    """Returns (orig_len, bwt_shift, lens, present, cps, rle_len, payload,
+    pre_len).
 
     cps is None for a periodic block (decoder must not use cursor starts).
+    pre_len == orig_len unless the RLE1 pre-pass flag is set.
     """
-    orig_len, bwt_shift, n_cps, rle_len = BLOCK_HEADER.unpack_from(buf, 0)
+    len_field, bwt_shift, n_cps, rle_len = BLOCK_HEADER.unpack_from(buf, 0)
+    orig_len = len_field & ~RLE1_FLAG
     off = BLOCK_HEADER.size
+    if len_field & RLE1_FLAG:
+        (pre_len,) = struct.unpack_from("<I", buf, off)
+        off += 4
+    else:
+        pre_len = orig_len
     if n_cps == PERIODIC_SENTINEL:
         cps = None
     else:
         cps = np.frombuffer(buf, dtype="<u4", count=n_cps, offset=off).astype(np.int32)
         off += 4 * n_cps
     lens, present, off = unpack_lens(buf, off)
-    return orig_len, bwt_shift, lens, present, cps, rle_len, buf[off:]
+    return orig_len, bwt_shift, lens, present, cps, rle_len, buf[off:], pre_len
 
 
 def _crc32(data: bytes) -> int:
@@ -159,13 +176,31 @@ def _crc32(data: bytes) -> int:
     return c
 
 
+def _stride_code(stride: int | None) -> int:
+    """log2 of the iBWT cursor stride, carried in the header's reserved
+    u16 (0 = legacy 4096, so round-2 files decode unchanged)."""
+    if stride is None:
+        from . import config as config_mod
+
+        stride = config_mod.DEFAULT.cursor_stride
+    return stride.bit_length() - 1
+
+
+def file_stride(buf: bytes) -> int:
+    """Cursor stride recorded in a .bzt header (reserved==0 -> legacy 4096)."""
+    if len(buf) < FILE_HEADER.size:
+        raise ValueError(f"truncated .bzt file: {len(buf)} bytes < header")
+    _, _, _, res, _, _, _ = FILE_HEADER.unpack_from(buf, 0)
+    return (1 << res) if res else 4096
+
+
 def pack_file(blocks: list[bytes], block_size: int, total_size: int,
-              crc: bool = True) -> bytes:
+              crc: bool = True, stride: int | None = None) -> bytes:
     """crc=True appends a u32 IEEE CRC of the block region (integrity check
     the reference has no analogue of — its only failure mode is UB)."""
     flags = FLAG_CRC32 if crc else 0
-    header = FILE_HEADER.pack(MAGIC, VERSION, flags, 0, block_size,
-                              len(blocks), total_size)
+    header = FILE_HEADER.pack(MAGIC, VERSION, flags, _stride_code(stride),
+                              block_size, len(blocks), total_size)
     table = struct.pack(f"<{len(blocks)}I", *(len(b) for b in blocks))
     body = b"".join(blocks)
     trailer = struct.pack("<I", _crc32(body)) if crc else b""

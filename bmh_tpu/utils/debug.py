@@ -65,7 +65,7 @@ def describe_container(buf: bytes) -> str:
     lines = [f".bzt: {len(buf)} bytes, {len(raw_blocks)} block(s), "
              f"block_size {block_size}, original {total_size} bytes"]
     for i, raw in enumerate(raw_blocks):
-        orig_len, shift, lens, present, cps, rle_len, payload = container.unpack_block(raw)
+        orig_len, shift, lens, present, cps, rle_len, payload, _pre = container.unpack_block(raw)
         ncp = "periodic" if cps is None else len(cps)
         lines.append(
             f"  block {i}: orig {orig_len} B, shift {shift}, "

@@ -38,8 +38,8 @@ class StreamCompressor:
     @classmethod
     def create(cls, path: str, block_size: int) -> "StreamCompressor":
         header = container.FILE_HEADER.pack(
-            container.MAGIC, container.VERSION, container.FLAG_STREAMING, 0,
-            block_size, 0, 0)
+            container.MAGIC, container.VERSION, container.FLAG_STREAMING,
+            container._stride_code(None), block_size, 0, 0)
         with open(path, "wb") as f:
             f.write(header)
             f.flush()
@@ -82,8 +82,9 @@ class StreamCompressor:
     def finalize(self, total_size: int) -> None:
         """Patch the header with the final block count and stream length."""
         header = container.FILE_HEADER.pack(
-            container.MAGIC, container.VERSION, container.FLAG_STREAMING, 0,
-            self.block_size, self.blocks_done, total_size)
+            container.MAGIC, container.VERSION, container.FLAG_STREAMING,
+            container._stride_code(None), self.block_size, self.blocks_done,
+            total_size)
         self._f.seek(0)
         self._f.write(header)
         self._f.flush()
@@ -116,12 +117,16 @@ def compress_file_resumable(in_path: str, out_path: str,
     todo = blocks[sc.blocks_done:]
     resumed_from = sc.blocks_done
     be = get_backend(backend)
+    from ..api import _rle1_blocks
+
     for blk in todo:  # one block per append: each is a durable checkpoint
-        r = be.compress_blocks([blk])[0]
+        (pre,), (raw_len,) = _rle1_blocks([blk])
+        r = be.compress_blocks([pre])[0]
         present = r["freqs"] > 0
-        sc.append(container.pack_block(r["orig_len"], r["shift"], r["lens"],
+        sc.append(container.pack_block(raw_len, r["shift"], r["lens"],
                                        present, r["payload"], cps=r.get("cps", ()),
-                                       rle_len=r["rle_len"]))
+                                       rle_len=r["rle_len"],
+                                       pre_len=r["orig_len"]))
     sc.finalize(data.size)
     return {"blocks": len(blocks), "resumed_from": resumed_from,
             "encoded_file_size": os.path.getsize(out_path)}

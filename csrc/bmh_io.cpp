@@ -210,3 +210,61 @@ uint32_t bmh_crc32(const uint8_t* buf, uint64_t len) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// RLE1 pre-BWT run collapse (bzip2-style, own wire format): a run of L >= 4
+// equal bytes becomes chunks of "4 copies + u8 extra" with extra in
+// [0, 251] covering 4..255 bytes per chunk; a trailing remainder < 4 is
+// emitted raw.  Collapses the long-run inputs (Calgary `pic`) that force
+// the prefix-doubling BWT to maximum rounds (the reference's worst case:
+// 9.9 s on pic, main.cpp:51-58).  Returns output length; the caller only
+// keeps the result when it is strictly smaller than the input.
+uint64_t bmh_rle1_encode(const uint8_t* in, uint64_t n, uint8_t* out,
+                         uint64_t cap) {
+  uint64_t o = 0, i = 0;
+  while (i < n) {
+    uint64_t j = i + 1;
+    while (j < n && in[j] == in[i]) ++j;
+    uint64_t len = j - i;
+    while (len >= 4) {
+      uint64_t take = len > 255 ? 255 : len;
+      if (o + 5 > cap) return cap + 1;  // would not fit == not smaller
+      out[o] = out[o + 1] = out[o + 2] = out[o + 3] = in[i];
+      out[o + 4] = (uint8_t)(take - 4);
+      o += 5;
+      len -= take;
+    }
+    for (uint64_t k = 0; k < len; ++k) {
+      if (o >= cap) return cap + 1;
+      out[o++] = in[i];
+    }
+    i = j;
+  }
+  return o;
+}
+
+// Inverse: 4 consecutive equal bytes are always a chunk marker whose next
+// byte is the extra count (the encoder emits no other 4-runs).  Returns
+// decoded length, or cap+1 on overflow / truncated count byte.
+uint64_t bmh_rle1_decode(const uint8_t* in, uint64_t n, uint8_t* out,
+                         uint64_t cap) {
+  uint64_t o = 0, i = 0;
+  while (i < n) {
+    uint8_t v = in[i];
+    if (i + 3 < n && in[i + 1] == v && in[i + 2] == v && in[i + 3] == v) {
+      if (i + 4 >= n) return cap + 1;  // truncated chunk
+      uint64_t total = 4u + in[i + 4];
+      if (o + total > cap) return cap + 1;
+      for (uint64_t k = 0; k < total; ++k) out[o++] = v;
+      i += 5;
+    } else {
+      if (o >= cap) return cap + 1;
+      out[o++] = v;
+      ++i;
+    }
+  }
+  return o;
+}
+
+}  // extern "C"

@@ -78,3 +78,64 @@ def test_bwt_bucket_reuse(rng):
         s_ref, l_ref = oracle.bwt(data)
         np.testing.assert_array_equal(np.asarray(last)[:n], l_ref)
         assert int(shift) == s_ref
+
+
+def _sparse_rank_roundtrip(blocks, ns, h_stop):
+    """Run rounds(h_stop) -> host compaction -> sparse_refine on a batch."""
+    b, nmax = blocks.shape
+    rounds = jax.jit(jax.vmap(lambda d, n: jbwt.bwt_rounds(d, n, h_stop)))
+    rank, tied, h, done = rounds(jnp.asarray(blocks), jnp.asarray(ns))
+    tied_np = np.asarray(tied).astype(bool)
+    blk_idx, pos_idx = np.nonzero(tied_np)
+    m_true = blk_idx.size
+    if m_true == 0:
+        return np.asarray(rank)
+    m_pad = 1 << max(m_true - 1, 1).bit_length()
+    blk = np.full(m_pad, b, dtype=np.int32)
+    pos = np.zeros(m_pad, dtype=np.int32)
+    blk[:m_true] = blk_idx
+    pos[:m_true] = pos_idx
+    hm0 = np.zeros(m_pad, dtype=np.int32)
+    hm0[:m_true] = h_stop % ns[blk_idx]
+    out = jax.jit(jbwt.sparse_refine)(rank, jnp.asarray(blk),
+                                      jnp.asarray(pos), jnp.asarray(hm0),
+                                      jnp.asarray(ns), jnp.int32(h_stop))
+    return np.asarray(out)
+
+
+@pytest.mark.parametrize("h_stop", [4, 8, 16])
+def test_sparse_refine_matches_full_rounds(rng, h_stop):
+    """Sparse refinement must land on the same final ranks as full rounds,
+    including ragged lengths, periodic blocks, and text-like repetition."""
+    nmax = 2048
+    b = 4
+    blocks = np.zeros((b, nmax), dtype=np.uint8)
+    ns = np.array([2048, 1537, 1024, 900], dtype=np.int32)
+    words = rng.integers(0, 5, 600)
+    text = b"".join([b"the", b"quick", b"brown", b"fox ", b"jumps"][w] for w in words)
+    blocks[0, :2048] = np.frombuffer(text[:2048], dtype=np.uint8)
+    blocks[1, :1537] = np.frombuffer(text[100:1637], dtype=np.uint8)
+    blocks[2, :1024] = np.tile(np.frombuffer(b"ab", dtype=np.uint8), 512)  # periodic
+    blocks[3, :900] = rng.integers(0, 4, 900, dtype=np.uint8)
+
+    got = _sparse_rank_roundtrip(blocks, ns, h_stop)
+    full = jax.jit(jax.vmap(lambda d, n: jbwt.bwt_rounds(d, n)[0]))(
+        jnp.asarray(blocks), jnp.asarray(ns))
+    np.testing.assert_array_equal(got, np.asarray(full))
+
+
+def test_sparse_pipeline_stage1_matches_fused(rng):
+    """The pipeline's sparse stage-1 path == the fused classic stage 1."""
+    from bmh_tpu.models import pipeline as P
+
+    nmax = 4096
+    blocks = np.zeros((4, nmax), dtype=np.uint8)
+    ns = np.array([4096, 4096, 3000, 1], dtype=np.int32)
+    text = bytes(rng.integers(97, 105, 9000, dtype=np.uint8).tolist())
+    blocks[0] = np.frombuffer(text[:4096], dtype=np.uint8)
+    blocks[1] = np.frombuffer(text[4000:8096], dtype=np.uint8)
+    blocks[2, :3000] = 65  # single symbol: long run, periodic
+    got = P._stage1_sparse(jnp.asarray(blocks), jnp.asarray(ns), ns)
+    want = P._batched_stage1(nmax, 4)(jnp.asarray(blocks), jnp.asarray(ns))
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

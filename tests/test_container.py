@@ -55,3 +55,46 @@ def test_crc32_integrity_detects_corruption(rng):
 
     with pytest.raises(ValueError, match="CRC mismatch"):
         decompress_bytes(bytes(bad), backend="oracle")
+
+
+def test_file_stride_recorded_and_legacy_default():
+    blob = container.pack_file([b"x" * 10], 4096, 10)
+    from bmh_tpu.utils import config as config_mod
+
+    assert container.file_stride(blob) == config_mod.DEFAULT.cursor_stride
+    # legacy round-2 files carry reserved == 0 -> 4096
+    legacy = container.FILE_HEADER.pack(container.MAGIC, container.VERSION,
+                                        0, 0, 4096, 0, 0)
+    assert container.file_stride(legacy) == 4096
+
+
+def test_cross_stride_decode(tmp_path):
+    """A container written at a non-default cursor stride decodes correctly
+    (the reader honors the recorded stride, not its own config)."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    data = bytes(rng.integers(0, 200, 30000, dtype=np.uint8))
+    raw = tmp_path / "in.bin"
+    raw.write_bytes(data)
+    out = tmp_path / "out.bzt"
+    env = dict(__import__("os").environ)
+    env["BMH_CURSOR_STRIDE"] = "4096"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    repo = __import__("os").path.dirname(__import__("os").path.dirname(
+        __import__("os").path.abspath(__file__)))
+    code = (f"import sys; sys.path.insert(0, {repo!r}); import jax; "
+            "jax.config.update('jax_platforms', 'cpu'); "
+            "from bmh_tpu import api; "
+            f"api.compress_file({str(raw)!r}, {str(out)!r}, block_size=8192)")
+    subprocess.run([sys.executable, "-c", code], check=True, env=env,
+                   timeout=240)
+    blob = out.read_bytes()
+    assert container.file_stride(blob) == 4096
+    from bmh_tpu import decompress_bytes
+
+    assert decompress_bytes(blob, backend="jax") == data

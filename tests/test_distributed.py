@@ -30,6 +30,7 @@ _WORKER = textwrap.dedent("""
     import numpy as np
 
     os.environ.pop("PYTHONSTARTUP", None)
+    os.environ["BMH_GATHER_CHUNK_BLOCKS"] = "2"  # force the chunked gather loop
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -43,10 +44,15 @@ _WORKER = textwrap.dedent("""
                            num_processes=2, process_id=pid)
     assert jax.process_count() == 2, jax.process_count()
 
+    import importlib
+    from bmh_tpu.parallel import distributed as _d
+    importlib.reload(_d)  # pick up the chunk-size env override
     rng = np.random.default_rng(77)
     data = bytes(rng.integers(0, 50, 9000, dtype=np.uint8))
     be = api.get_backend("oracle")
-    blob = distributed.compress_stream(data, 2048, be)
+    blob = _d.compress_stream(data, 2048, be)
+    if pid != 0:
+        assert blob is None, "only process 0 may materialize the container"
     # decompress path: process 0 shares the container via a file
     if pid == 0:
         assert blob is not None
@@ -56,10 +62,12 @@ _WORKER = textwrap.dedent("""
     multihost_utils.sync_global_devices("blob-written")
     with open({blobpath!r}, "rb") as f:
         shared = f.read()
-    back = distributed.decompress_stream(shared, be)
+    back = _d.decompress_stream(shared, be)
     if pid == 0:
         assert back == data, "distributed round-trip mismatch"
         print("DIST_OK")
+    else:
+        assert back is None, "only process 0 may materialize the stream"
 """)
 
 

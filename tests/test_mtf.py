@@ -57,3 +57,26 @@ def test_mtf_roundtrip_various_chunks(rng):
         codes = jmtf.mtf_forward(jnp.asarray(padded), jnp.int32(data.size), chunk)
         back = jmtf.mtf_inverse(codes, jnp.int32(data.size), chunk)
         np.testing.assert_array_equal(np.asarray(back)[:data.size], data)
+
+
+def test_pallas_imtf_kernel_matches_scan(rng):
+    """imtf_chunks (interpret mode) == the lax.scan in-chunk formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from bmh_tpu.ops import mtf as M
+    from bmh_tpu.ops import pallas_mtf as PM
+
+    m, k = 64, PM.TILE
+    codes = rng.integers(0, 256, (m, k)).astype(np.int32)
+    ys, q = PM.imtf_chunks(jnp.asarray(codes), interpret=True)
+
+    ident = jnp.broadcast_to(jnp.arange(256, dtype=jnp.int32), (k, 256))
+
+    def step(qq, c):
+        y = M._step_select(qq, c)
+        return M._rot_apply(qq, c, y), y
+
+    pi_full, ys_ref = jax.lax.scan(step, ident, jnp.asarray(codes))
+    np.testing.assert_array_equal(np.asarray(ys), np.asarray(ys_ref))
+    np.testing.assert_array_equal(np.asarray(q), np.asarray(pi_full).T)

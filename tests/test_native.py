@@ -75,3 +75,47 @@ def test_crc32():
 
     data = b"the quick brown fox" * 37
     assert nativeio.crc32(data) == zlib.crc32(data)
+
+
+def test_rle1_native_matches_python_spec(rng):
+    from bmh_tpu.utils import nativeio as N
+
+    for _ in range(60):
+        n = int(rng.integers(0, 800))
+        a = rng.integers(0, 3, n).astype(np.uint8)
+        if n > 20 and rng.random() < 0.6:
+            a[: n // 2] = 9
+        enc_n = N.rle1_encode(a)
+        enc_p = N._rle1_encode_py(a)
+        if enc_p.size < a.size:
+            np.testing.assert_array_equal(enc_n, enc_p)
+            np.testing.assert_array_equal(N.rle1_decode(enc_n, n), a)
+        else:
+            # non-shrinking input: the native wrapper hands back the input
+            # itself (callers apply RLE1 only when strictly smaller)
+            np.testing.assert_array_equal(enc_n, a)
+    # boundary run lengths incl. count byte == value collisions; L=4,5
+    # do not shrink (chunk costs 5 bytes) and stay raw
+    for L in (4, 5, 254, 255, 256, 259, 510, 511, 1021):
+        a = np.full(L, 7, np.uint8)
+        enc = N.rle1_encode(a)
+        if enc.size < L:
+            np.testing.assert_array_equal(N.rle1_decode(enc, L), a)
+        else:
+            np.testing.assert_array_equal(enc, a)
+
+
+def test_rle1_roundtrip_through_api(rng):
+    """Run-dominated stream: RLE1 flag set in the container, bit-exact."""
+    from bmh_tpu import compress_bytes, decompress_bytes
+    from bmh_tpu.utils import container
+
+    a = np.zeros(20000, np.uint8)
+    a[::97] = rng.integers(1, 255, a[::97].size)  # sparse non-zeros in runs
+    data = a.tobytes()
+    blob = compress_bytes(data, block_size=8192, backend="jax")
+    _, _, raws = container.unpack_file(blob)
+    flags = [container.unpack_block(r)[7] < container.unpack_block(r)[0]
+             for r in raws]
+    assert any(flags), "RLE1 should engage on run-dominated blocks"
+    assert decompress_bytes(blob, backend="jax") == data

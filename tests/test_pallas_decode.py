@@ -34,9 +34,10 @@ def test_pallas_phases_match_scan(rng):
     chunk_bits = 256
     data, words, count_t, maxl = _prep(rng, 4000, chunk_bits, nc_align=8)
     tiles = H.unpack_bit_tiles_flat(jnp.asarray(words), chunk_bits)
+    wext = PD.words_ext(jnp.asarray(words), chunk_bits)
 
     cnt_s, exit_s = PD.phase_a_scan(tiles, count_t, chunk_bits=chunk_bits)
-    cnt_p, exit_p = PD.phase_a(tiles, count_t, chunk_bits=chunk_bits,
+    cnt_p, exit_p = PD.phase_a(wext, count_t, chunk_bits=chunk_bits,
                                interpret=True)
     np.testing.assert_array_equal(np.asarray(cnt_p), np.asarray(cnt_s))
     np.testing.assert_array_equal(np.asarray(exit_p), np.asarray(exit_s))
@@ -53,7 +54,7 @@ def test_pallas_phases_match_scan(rng):
     entry = jnp.asarray(entry_np)
 
     idx_s = PD.phase_b_scan(tiles, count_t, entry, chunk_bits=chunk_bits)
-    idx_p = PD.phase_b(tiles, count_t, entry, chunk_bits=chunk_bits,
+    idx_p = PD.phase_b(wext, count_t, entry, chunk_bits=chunk_bits,
                        interpret=True)
     np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_s))
 

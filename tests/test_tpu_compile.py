@@ -49,15 +49,16 @@ def test_pallas_decode_phases_compile_and_match_scan():
     t = H.decode_tables(lens)
     count_t = jnp.asarray(np.broadcast_to(t["count"][:, None], (32, nchunks)).copy())
     tiles = H.unpack_bit_tiles_flat(jnp.asarray(words), chunk_bits)
+    wext = PD.words_ext(jnp.asarray(words), chunk_bits)
 
-    cnt_p, exit_p = PD.phase_a(tiles, count_t, chunk_bits=chunk_bits,
+    cnt_p, exit_p = PD.phase_a(wext, count_t, chunk_bits=chunk_bits,
                                interpret=False)  # compiled on the chip
     cnt_s, exit_s = PD.phase_a_scan(tiles, count_t, chunk_bits=chunk_bits)
     np.testing.assert_array_equal(np.asarray(cnt_p), np.asarray(cnt_s))
     np.testing.assert_array_equal(np.asarray(exit_p), np.asarray(exit_s))
 
     entry = jnp.zeros(nchunks, jnp.int32)  # gap-0 entries suffice for lowering
-    idx_p = PD.phase_b(tiles, count_t, entry, chunk_bits=chunk_bits,
+    idx_p = PD.phase_b(wext, count_t, entry, chunk_bits=chunk_bits,
                        interpret=False)
     idx_s = PD.phase_b_scan(tiles, count_t, entry, chunk_bits=chunk_bits)
     np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_s))

@@ -16,13 +16,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, reps=3):
+def _sync(out):
+    # block_until_ready is a no-op through the axon tunnel; a device_get of
+    # one result leaf is the only reliable completion barrier
+    out = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(out))
+
+
+def timeit(fn, *args, reps=5):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)  # compile + warm
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-        jax.block_until_ready(out)
+    _sync(out)  # dispatches queue on one stream; one barrier covers all
     return (time.perf_counter() - t0) / reps, out
 
 
@@ -79,6 +86,22 @@ def main(block_size=131072):
     t, _ = timeit(P._batched_stage1(nmax, b_pad), batch_d, ns_d)
     res["stage1_fused"] = t
 
+    # production sparse-doubling path pieces
+    t, (rank_d, tied_d, _, _) = timeit(P._batched_rounds(nmax, b_pad),
+                                       batch_d, ns_d)
+    res["bwt_rounds_partial"] = t
+    tied_np = np.asarray(tied_d).astype(bool)
+    res["tied_frac"] = float(tied_np.sum()) / (b_pad * nmax)
+    t0 = time.perf_counter()
+    rank_full = P._sparse_ranks(batch_d, ns_d, ns)
+    _sync(rank_full)
+    res["sparse_ranks_total"] = time.perf_counter() - t0
+    t, _ = timeit(P._batched_finish_full(nmax, b_pad), batch_d, ns_d,
+                  rank_full)
+    res["finish_full_fused"] = t
+    t, _ = timeit(P._batched_full(nmax, b_pad), batch_d, ns_d)
+    res["compress_full_fused"] = t
+
     freqs_np = np.asarray(freqs)
     t0 = time.perf_counter()
     A = ops_rle.RLE_ALPHABET
@@ -89,6 +112,10 @@ def main(block_size=131072):
         if (lens_all[row] > 0).any():
             code_tbls[row] = ops_huf.canonical_code_table(lens_all[row])
     res["host_huffman"] = time.perf_counter() - t0
+
+    t, _ = timeit(jax.jit(jax.vmap(ops_huf.code_lengths_device)),
+                  jnp.asarray(freqs_np.astype(np.int32)))
+    res["device_huffman_lengths"] = t
 
     t, (words, total_bits) = timeit(
         P._batched_stage2(nmax, b_pad), syms, ms,
@@ -138,7 +165,7 @@ def main(block_size=131072):
     for bl in blob:
         _, _, raw_blocks = C.unpack_file(bl)
         for raw in raw_blocks:
-            orig_len, shift, lens, present, cps_b, rle_len, payload = C.unpack_block(raw)
+            orig_len, shift, lens, present, cps_b, rle_len, payload, _pre = C.unpack_block(raw)
             blks.append({"orig_len": orig_len, "shift": shift, "lens": lens,
                          "present": present, "cps": cps_b, "rle_len": rle_len,
                          "payload": payload})
@@ -161,7 +188,9 @@ def main(block_size=131072):
     res["nc_true"], res["nc_pad"], res["maxl"] = nc_true, nc, maxl
 
     bb = P._next_pow2(len(d_in))
+    stride = ops_bwt.CURSOR_STRIDE
     words_h = np.zeros(nc * wbytes // 4, dtype=np.uint32)
+    lens_all = np.zeros((bb + 1, A), dtype=np.int32)
     count_t = np.zeros((32, nc), dtype=np.int32)
     seg_id = np.full(nc, bb, dtype=np.int32)
     seg_start = np.zeros(nc, dtype=bool)
@@ -172,12 +201,13 @@ def main(block_size=131072):
     ms2 = np.ones(bb + 1, dtype=np.int32)
     ms2[bb] = 0
     shifts = np.zeros(bb, dtype=np.int32)
-    fn, kcp = P._decode_flat(nc, nmax, bb, P.DECODE_CHUNK_BITS, maxl)
+    fn, kcp = P._decode_flat(nc, nmax, bb, P.DECODE_CHUNK_BITS, maxl, stride)
     cps2 = np.zeros((bb, kcp), dtype=np.int32)
     for row, (b, (c0, nc_b)) in enumerate(zip(d_in, spans)):
         buf = b["payload"] + b"\x00" * (nc_b * wbytes - len(b["payload"]))
         words_h[c0 * wbytes // 4:(c0 + nc_b) * wbytes // 4] = np.frombuffer(
             buf, dtype=">u4").astype(np.uint32)
+        lens_all[row, : np.asarray(b["lens"]).size] = np.asarray(b["lens"])
         tt = ops_huf.decode_tables(np.asarray(b["lens"]))
         count_t[:, c0:c0 + nc_b] = tt["count"][:, None]
         seg_id[c0:c0 + nc_b] = row
@@ -193,32 +223,37 @@ def main(block_size=131072):
             cps2[row, : cc.size] = cc
 
     args = [jnp.asarray(x) for x in
-            (words_h, count_t, seg_start, seg_start_idx, seg_id, sym_tbl,
+            (words_h, lens_all, seg_start, seg_start_idx, seg_id,
              ms2, ns2, shifts, cps2)]
     t, _ = timeit(fn, *args)
     res["decode_flat_fused"] = t
 
     # pieces
     from bmh_tpu.ops import pallas_decode as PD
-    tiles_fn = jax.jit(lambda w: ops_huf.unpack_bit_tiles_flat(w, P.DECODE_CHUNK_BITS))
-    t, tiles = timeit(tiles_fn, args[0])
-    res["unpack_tiles"] = t
-    pa = jax.jit(lambda tl, ct: PD.phase_a(tl, ct, chunk_bits=P.DECODE_CHUNK_BITS,
+    a_words = jnp.asarray(words_h)
+    a_count = jnp.asarray(count_t)
+    a_sym = jnp.asarray(sym_tbl)
+    wext_fn = jax.jit(lambda w: PD.words_ext(w, P.DECODE_CHUNK_BITS))
+    t, wext = timeit(wext_fn, a_words)
+    res["words_ext"] = t
+    pa = jax.jit(lambda we, ct: PD.phase_a(we, ct, chunk_bits=P.DECODE_CHUNK_BITS,
                                            maxl=maxl, interpret=False))
-    t, (cnt_map, exit_map) = timeit(pa, tiles, args[1])
+    t, (cnt_map, exit_map) = timeit(pa, wext, a_count)
     res["phase_a"] = t
-    gd = jax.jit(lambda tl, ct, ss, ssi, si, st, m: ops_huf.gap_decode_flat(
-        tl, ct, ss, ssi, si, st, m, nmax, P.DECODE_CHUNK_BITS, maxl))
-    t, syms_dec = timeit(gd, tiles, args[1], args[2], args[3], args[4], args[5], args[6])
+    gd = jax.jit(lambda w, ct, ss, ssi, si, st, m: ops_huf.gap_decode_flat(
+        w, ct, ss, ssi, si, st, m, nmax, P.DECODE_CHUNK_BITS, maxl))
+    t, syms_dec = timeit(gd, a_words, a_count, args[2], args[3], args[4],
+                         a_sym, args[5])
     res["gap_decode_total"] = t
     rled = jax.jit(jax.vmap(ops_rle.rle0_decode))
-    t, codes_dec = timeit(rled, syms_dec[:bb], args[6][:bb], args[7][:bb])
+    t, codes_dec = timeit(rled, syms_dec[:bb], args[5][:bb], args[6][:bb])
     res["rle0_decode"] = t
     imtf = jax.jit(jax.vmap(lambda c, n: ops_mtf.mtf_inverse(c, n, P.MTF_CHUNK)))
-    t, last_dec = timeit(imtf, codes_dec, args[7][:bb])
+    t, last_dec = timeit(imtf, codes_dec, args[6][:bb])
     res["mtf_inverse"] = t
-    ibwt = jax.jit(jax.vmap(ops_bwt.bwt_inverse_cursors))
-    t, _ = timeit(ibwt, last_dec, args[8], args[9], args[7][:bb])
+    ibwt = jax.jit(jax.vmap(lambda l, sh, cp, n: ops_bwt.bwt_inverse_cursors(
+        l, sh, cp, n, stride=stride)))
+    t, _ = timeit(ibwt, last_dec, args[7], args[8], args[6][:bb])
     res["ibwt_cursors"] = t
 
     print(json.dumps(res, indent=1))
