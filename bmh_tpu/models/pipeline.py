@@ -173,7 +173,19 @@ def _sparse_fn(b: int, nmax: int, m_cap: int):
 
     def f(rank, tied, ns):
         flat = tied.reshape(-1) != 0
-        idx = jnp.nonzero(flat, size=m_cap, fill_value=b * nmax)[0].astype(jnp.int32)
+        if b * nmax <= (1 << 23):
+            # compaction by ONE packed single-array sort: tied positions
+            # keep their index order in the low bits and sort first; the
+            # jnp.nonzero lowering this replaces is a 4M scatter-add
+            # (traced 37 ms vs ~7 ms for the sort)
+            pidx = jnp.arange(b * nmax, dtype=jnp.uint32)
+            key = jnp.where(flat, pidx, pidx | jnp.uint32(1 << 23))
+            srt = jax.lax.sort(key)[:m_cap]
+            idx = jnp.where((srt >> 23) == 0, srt & jnp.uint32((1 << 23) - 1),
+                            jnp.uint32(b * nmax)).astype(jnp.int32)
+        else:
+            idx = jnp.nonzero(flat, size=m_cap,
+                              fill_value=b * nmax)[0].astype(jnp.int32)
         blk = idx // nmax  # static power-of-two divisor -> shift; pads -> b
         pos = idx - blk * nmax
         nb = ns[jnp.clip(blk, 0, b - 1)]
@@ -246,8 +258,9 @@ def _batched_finish_full(nmax: int, batch: int):
 
 def _sparse_cap(b_pad: int, nmax: int) -> int:
     """Static compact-set capacity: 1/16 of the batch (text leaves ~5%
-    tied after 4 full rounds), with a floor for tiny batches."""
-    return max((b_pad * nmax) // 16, _SPARSE_MIN)
+    tied after 4 full rounds), with a floor for tiny batches (clamped to
+    the batch itself)."""
+    return min(max((b_pad * nmax) // 16, _SPARSE_MIN), b_pad * nmax)
 
 
 def _sparse_ranks(batch_j, ns_j, ns_np):

@@ -326,8 +326,30 @@ def encode_bitpack(data: jax.Array, n: jax.Array, len_tbl: jax.Array,
     hi = jnp.where(ln > 0, jnp.where(straddles, hi2, hi1), jnp.uint32(0))
     lo = jnp.where(ln > 0, jnp.where(straddles, lo2, jnp.uint32(0)), jnp.uint32(0))
 
-    seg_hi = jax.ops.segment_sum(hi, word, num_segments=w_out, indices_are_sorted=True)
-    seg_lo = jax.ops.segment_sum(lo, word + 1, num_segments=w_out, indices_are_sorted=True)
+    # Per-word reduction WITHOUT scatter-adds (2x ~37 ms traced): bits of
+    # distinct symbols never overlap within a word, so sum == OR and a
+    # wraparound uint32 prefix sum P turns each word's total into a
+    # difference of two prefix samples P[c[w+1]] - P[c[w]], where
+    # c[k] = #symbols with offs < 32k.  c comes from merging the (sorted)
+    # offsets with the uniform word boundaries: ONE packed single-array
+    # sort (value<<1 | is_symbol — boundaries first on ties = strict <),
+    # then a second packed sort compacts the boundary positions.
+    merged = jax.lax.sort(jnp.concatenate([
+        (offs << 1) | 1,
+        (32 * jnp.arange(w_out + 1, dtype=jnp.int32)) << 1,
+    ]))
+    is_b = (merged & 1) == 0
+    k_rank = jnp.cumsum(is_b.astype(jnp.int32)) - is_b  # boundary index k
+    pos_m = jnp.arange(merged.shape[0], dtype=jnp.int32)
+    cval = pos_m - k_rank                               # = c[k] at boundaries
+    _, c = jax.lax.sort(
+        (jnp.where(is_b, k_rank, jnp.int32(1) << 30), cval), num_keys=1)
+    c = c[: w_out + 1]
+    p_hi = jnp.concatenate([jnp.zeros(1, jnp.uint32), jnp.cumsum(hi)])
+    p_lo = jnp.concatenate([jnp.zeros(1, jnp.uint32), jnp.cumsum(lo)])
+    seg_hi = p_hi[c[1:]] - p_hi[c[:-1]]             # sum of hi with word == w
+    lo_by_word = p_lo[c[1:]] - p_lo[c[:-1]]         # sum of lo with word == w
+    seg_lo = jnp.concatenate([jnp.zeros(1, jnp.uint32), lo_by_word[:-1]])
     return (seg_hi + seg_lo).astype(jnp.uint32), total_bits
 
 

