@@ -26,20 +26,23 @@ from .utils.metrics import metrics_line
 
 
 def cmd_compress(args) -> int:
-    t0 = time.perf_counter()
-    if args.resumable:
-        from .utils.stream import compress_file_resumable
-        import os
+    from .utils.metrics import timer
 
-        info = compress_file_resumable(args.input, args.output,
-                                       block_size=args.block_size, backend=args.backend)
-        info["initial_data_size"] = os.path.getsize(args.input)
-    else:
-        info = api.compress_file(args.input, args.output, block_size=args.block_size,
-                                 backend=args.backend)
-    dt = time.perf_counter() - t0
+    with timer() as tbox:
+        if args.resumable:
+            from .utils.stream import compress_file_resumable
+            import os
+
+            info = compress_file_resumable(args.input, args.output,
+                                           block_size=args.block_size,
+                                           backend=args.backend)
+            info["initial_data_size"] = os.path.getsize(args.input)
+        else:
+            info = api.compress_file(args.input, args.output,
+                                     block_size=args.block_size,
+                                     backend=args.backend)
     print(metrics_line(args.output, info["initial_data_size"], info["encoded_file_size"],
-                       header_size=info.get("header_size"), seconds=dt))
+                       header_size=info.get("header_size"), seconds=tbox["seconds"]))
     return 0
 
 
@@ -63,14 +66,19 @@ def cmd_bench(args) -> int:
     total_in = total_out = 0
     t_start = time.perf_counter()
     failures = 0
+    from .utils.tracing import StageTimer
+
+    stages = StageTimer()
     for i, name in enumerate(files, 1):
         path = os.path.join(d, name)
         with open(path, "rb") as f:
             data = f.read()
         t0 = time.perf_counter()
-        blob = api.compress_bytes(data, block_size=args.block_size, backend=args.backend)
+        with stages.stage("compress"):
+            blob = api.compress_bytes(data, block_size=args.block_size, backend=args.backend)
         t1 = time.perf_counter()
-        back = api.decompress_bytes(blob, backend=args.backend)
+        with stages.stage("decompress"):
+            back = api.decompress_bytes(blob, backend=args.backend)
         t2 = time.perf_counter()
         ok = back == data
         failures += 0 if ok else 1
@@ -87,6 +95,12 @@ def cmd_bench(args) -> int:
     rate = total_out / total_in if total_in else 0.0
     print(f"TOTAL $$ in: {total_in} $$ out: {total_out} $$ rate: {rate:.4f} "
           f"$$ wall_s: {wall:.2f} $$ roundtrip_MB_per_s: {2 * total_in / wall / 1e6:.3f}")
+    print(stages.report())
+    from .utils.metrics import json_line
+
+    print(json_line(files=len(files), bytes_in=total_in, bytes_out=total_out,
+                    rate=round(rate, 4), wall_s=round(wall, 3),
+                    failures=failures))
     return 1 if failures else 0
 
 

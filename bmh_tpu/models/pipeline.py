@@ -1,9 +1,12 @@
 """Batched, jitted TPU block-codec pipeline — the production backend.
 
-Compress: bwt_forward_cp -> mtf_forward -> histogram (one fused jit),
-host-side 256-entry canonical code-length build, then the jitted bitpack
-encoder.  Decompress: one fused dispatch — flat Pallas gap decode over the
-concatenated chunk axis of the whole batch, then vmapped inverse MTF +
+Compress: partial doubling rounds -> device-compacted sparse rank
+refinement -> ONE fused dispatch for everything else (BWT finish -> MTF ->
+RLE0 -> histogram -> device two-queue Huffman lengths -> canonical codes ->
+bitpack -> payload flatten); run-dominated batches use the classic fused
+full-rounds program instead.  Decompress: one fused dispatch — flat Pallas
+gap decode over the concatenated chunk axis of the whole batch
+(device-built decode tables), then vmapped RLE0⁻¹ + Pallas inverse MTF +
 checkpointed cursor-walk inverse BWT.
 
 Blocks are padded into power-of-two size buckets and batched per bucket, so
@@ -369,6 +372,8 @@ class JaxBackend:
         # Phase 1 — dispatch every chunk's device work (async): the whole
         # encode (BWT -> MTF -> RLE0 -> histogram -> two-queue lengths ->
         # canonical codes -> bitpack) is one fused program per batch.
+        from ..utils.tracing import annotate
+
         pending = []
         for (nmax, _hard), all_idxs in groups.items():
           for idxs in _chunks(all_idxs):
@@ -380,12 +385,13 @@ class JaxBackend:
                 batch[row, : arrs[i].size] = arrs[i]
                 ns[row] = arrs[i].size
             batch_j, ns_j = jnp.asarray(batch), jnp.asarray(ns)
-            if _hard:
+            with annotate(f"compress_dispatch_b{b_pad}"):
+              if _hard:
                 # run-dominated blocks (many doubling rounds, most positions
                 # tied for a long time): the classic fused single-dispatch
                 # stage 1 beats the sparse path's host sync
                 out = _batched_full(nmax, b_pad)(batch_j, ns_j)
-            else:
+              else:
                 rank = _sparse_ranks(batch_j, ns_j, ns)
                 out = _batched_finish_full(nmax, b_pad)(batch_j, ns_j, rank)
             pending.append((idxs, ns, out))
@@ -395,6 +401,7 @@ class JaxBackend:
         # Only the first total_words of the compacted word stream cross the
         # tunnel (~ the compressed size), not the padded (B, W) buffer.
         for idxs, ns, out in pending:
+          with annotate("compress_assemble"):
             flat, nw, total_words, total_bits, lens, freqs, ms, shifts, \
                 cps, aper = out
             bits_np = np.asarray(total_bits)

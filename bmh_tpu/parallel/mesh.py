@@ -23,9 +23,7 @@ def make_mesh(n_devices: int | None = None, axis_name: str = BLOCK_AXIS) -> Mesh
 
 
 def block_sharding(mesh: Mesh, axis_name: str = BLOCK_AXIS) -> NamedSharding:
-    """Shard the leading (block-batch) dimension across the mesh."""
+    """Shard the leading (block-batch) dimension across the mesh (used to
+    pre-place dryrun/test batches so the sharded step starts from
+    device-resident shards rather than host replicas)."""
     return NamedSharding(mesh, PartitionSpec(axis_name))
-
-
-def replicated(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, PartitionSpec())

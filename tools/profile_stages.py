@@ -87,11 +87,10 @@ def main(block_size=131072):
     res["stage1_fused"] = t
 
     # production sparse-doubling path pieces
-    t, (rank_d, tied_d, _, _) = timeit(P._batched_rounds(nmax, b_pad),
-                                       batch_d, ns_d)
+    t, (rank_d, tied_d, _, _, cnt_d) = timeit(P._batched_rounds(nmax, b_pad),
+                                              batch_d, ns_d)
     res["bwt_rounds_partial"] = t
-    tied_np = np.asarray(tied_d).astype(bool)
-    res["tied_frac"] = float(tied_np.sum()) / (b_pad * nmax)
+    res["tied_frac"] = float(np.asarray(cnt_d).sum()) / (b_pad * nmax)
     t0 = time.perf_counter()
     rank_full = P._sparse_ranks(batch_d, ns_d, ns)
     _sync(rank_full)
