@@ -205,13 +205,26 @@ def sparse_refine(rank: jax.Array, blk: jax.Array, pos: jax.Array,
     flat_pos = jnp.clip(blk, 0, b - 1) * nmax + pos
     pad_key = jnp.int32(b * nmax) + midx  # distinct, sorts last
 
+    # Ranks stay COMPACT through the loop: resolved positions' ranks never
+    # change, so the full (B*Nmax) plane is read-only inside the loop and
+    # a compact-index plane routes rank[p2] reads to either the static
+    # plane or the live compact array — the loop then costs O(M) per
+    # iteration with no full-plane scatter writeback (traced ~5 ms/iter).
+    rank_flat = rank.reshape(-1)
+    safe_pos = jnp.where(valid, flat_pos, 0)
+    cidx_plane = jnp.full(b * nmax + 1, -1, dtype=jnp.int32)
+    cidx_plane = cidx_plane.at[jnp.where(valid, flat_pos, b * nmax)].set(
+        midx, mode="drop")
+    rc0 = rank_flat[safe_pos]  # compact working ranks
+
     def body(state):
-        rank_flat, hm, h, _ = state
+        rc, hm, h, _ = state
         p2 = pos + hm
         p2 = jnp.where(p2 >= nb, p2 - nb, p2)
-        r1 = rank_flat[flat_pos]
-        r2 = rank_flat[jnp.clip(blk, 0, b - 1) * nmax + p2]
-        k1 = jnp.where(valid, blk * nmax + r1, pad_key)
+        f2 = jnp.clip(blk, 0, b - 1) * nmax + p2
+        t2 = cidx_plane[f2]
+        r2 = jnp.where(t2 >= 0, rc[jnp.clip(t2, 0, m - 1)], rank_flat[f2])
+        k1 = jnp.where(valid, blk * nmax + rc, pad_key)
         k2 = jnp.where(valid, r2, 0)
         sk1, sk2, sidx = _stable_sort3(k1, k2, midx)
         ch1 = jnp.concatenate([jnp.zeros(1, jnp.bool_), sk1[1:] != sk1[:-1]])
@@ -219,22 +232,21 @@ def sparse_refine(rank: jax.Array, blk: jax.Array, pos: jax.Array,
         head1 = jax.lax.cummax(jnp.where(ch1, midx, 0))
         head12 = jax.lax.cummax(jnp.where(ch12, midx, 0))
         blk_s = blk[sidx]
-        valid_s = blk_s < b
         r1_s = sk1 - blk_s * nmax
         new_rank_s = r1_s + (head12 - head1)
-        target = jnp.where(valid_s, blk_s * nmax + pos[sidx], b * nmax)
-        rank_flat = rank_flat.at[target].set(new_rank_s, mode="drop")
+        rc = jnp.zeros(m, jnp.int32).at[sidx].set(new_rank_s)  # M-sized
         done = jnp.all(ch12 | (midx == 0))
         hm2 = hm * 2
         hm = jnp.where(hm2 >= nb, hm2 - nb, hm2)
-        return rank_flat, hm, h * 2, done
+        return rc, hm, h * 2, done
 
     def cond(state):
         _, _, h, done = state
         return jnp.logical_and(h < nmax, jnp.logical_not(done))
 
-    state = (rank.reshape(-1), hm0, h0, jnp.bool_(False))
-    rank_flat, _, _, _ = jax.lax.while_loop(cond, body, state)
+    rc, _, _, _ = jax.lax.while_loop(cond, body, (rc0, hm0, h0, jnp.bool_(False)))
+    target = jnp.where(valid, flat_pos, b * nmax)
+    rank_flat = rank_flat.at[target].set(rc, mode="drop")
     return rank_flat.reshape(b, nmax)
 
 
