@@ -27,12 +27,15 @@ MAX_LOG = 26  # supports runs (and blocks) up to 2**26
 
 
 def _floor_log2_p1(r: jax.Array) -> jax.Array:
-    """floor(log2(r+1)) for r >= 0, elementwise, via unrolled compares."""
+    """floor(log2(r+1)) for 0 <= r < 2^24-1, elementwise.
+
+    One int->f32 convert + exponent extract (exact: every value below 2^24
+    is representable) instead of a MAX_LOG-deep unrolled compare chain —
+    run lengths are bounded by the block size (<= 2^21)."""
     rp = r + 1
-    d = jnp.zeros_like(r)
-    for k in range(1, MAX_LOG + 1):
-        d = d + (rp >= (1 << k)).astype(r.dtype)
-    return d
+    exp = (jax.lax.bitcast_convert_type(rp.astype(jnp.float32), jnp.int32)
+           >> 23) - 127
+    return jnp.where(rp > 0, exp, 0).astype(r.dtype)
 
 
 def rle0_encode(codes: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]:
