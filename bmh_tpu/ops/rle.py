@@ -53,9 +53,10 @@ def rle0_encode(codes: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]:
     run_start = z & jnp.logical_not(z_prev)
 
     start_pos = jax.lax.cummax(jnp.where(run_start, pos, -1))
-    # next non-zero-or-invalid position at/after i (runs end at n too)
+    # next non-zero-or-invalid position at/after i (runs end at n too);
+    # a native reverse scan, not flip-scan-flip (two 4M reversal copies)
     nz = jnp.logical_not(z)
-    nxt = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(nz, pos, nmax))))
+    nxt = jax.lax.cummin(jnp.where(nz, pos, nmax), reverse=True)
 
     r = nxt - start_pos            # run length, valid on zero positions
     j = pos - start_pos            # index within the run
