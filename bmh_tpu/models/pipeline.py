@@ -168,44 +168,45 @@ def _batched_resume(nmax: int, batch: int):
     return jax.jit(jax.vmap(f))
 
 
-@functools.lru_cache(maxsize=128)
-def _sparse_fn(b: int, nmax: int, m_cap: int):
+def _sparse_refine_compact(rank, tied, ns, b: int, nmax: int, m_cap: int):
     """Device-side compaction + sparse refinement: the tied mask never
     leaves the device (a (B, nmax) mask pull costs ~100 ms through the
-    tunnel); the host sees only per-block tied counts."""
+    tunnel)."""
+    flat = tied.reshape(-1) != 0
+    if b * nmax <= (1 << 23):
+        # compaction by ONE packed single-array sort: tied positions
+        # keep their index order in the low bits and sort first; the
+        # jnp.nonzero lowering this replaces is a 4M scatter-add
+        # (traced 37 ms vs ~7 ms for the sort)
+        pidx = jnp.arange(b * nmax, dtype=jnp.uint32)
+        key = jnp.where(flat, pidx, pidx | jnp.uint32(1 << 23))
+        srt = jax.lax.sort(key)[:m_cap]
+        idx = jnp.where((srt >> 23) == 0, srt & jnp.uint32((1 << 23) - 1),
+                        jnp.uint32(b * nmax)).astype(jnp.int32)
+    else:
+        idx = jnp.nonzero(flat, size=m_cap,
+                          fill_value=b * nmax)[0].astype(jnp.int32)
+    blk = idx // nmax  # static power-of-two divisor -> shift; pads -> b
+    pos = idx - blk * nmax
+    nb = ns[jnp.clip(blk, 0, b - 1)]
+    # hm0 = h0 mod nb by binary conditional subtraction: the quotient is
+    # <= h0 (nb >= 1), so subtracting nb * {32,16,8,4,2,1} suffices and
+    # avoids the ~35ms-per-786K software integer `%` lowering
+    hm = jnp.full(m_cap, _SPARSE_H0, dtype=jnp.int32)
+    q = 1
+    while q * 2 <= _SPARSE_H0:
+        q *= 2
+    while q >= 1:
+        hm = jnp.where(hm >= nb * q, hm - nb * q, hm)
+        q //= 2
+    return ops_bwt.sparse_refine(rank, blk, pos, hm, ns,
+                                 jnp.int32(_SPARSE_H0))
 
-    def f(rank, tied, ns):
-        flat = tied.reshape(-1) != 0
-        if b * nmax <= (1 << 23):
-            # compaction by ONE packed single-array sort: tied positions
-            # keep their index order in the low bits and sort first; the
-            # jnp.nonzero lowering this replaces is a 4M scatter-add
-            # (traced 37 ms vs ~7 ms for the sort)
-            pidx = jnp.arange(b * nmax, dtype=jnp.uint32)
-            key = jnp.where(flat, pidx, pidx | jnp.uint32(1 << 23))
-            srt = jax.lax.sort(key)[:m_cap]
-            idx = jnp.where((srt >> 23) == 0, srt & jnp.uint32((1 << 23) - 1),
-                            jnp.uint32(b * nmax)).astype(jnp.int32)
-        else:
-            idx = jnp.nonzero(flat, size=m_cap,
-                              fill_value=b * nmax)[0].astype(jnp.int32)
-        blk = idx // nmax  # static power-of-two divisor -> shift; pads -> b
-        pos = idx - blk * nmax
-        nb = ns[jnp.clip(blk, 0, b - 1)]
-        # hm0 = h0 mod nb by binary conditional subtraction: the quotient is
-        # <= h0 (nb >= 1), so subtracting nb * {32,16,8,4,2,1} suffices and
-        # avoids the ~35ms-per-786K software integer `%` lowering
-        hm = jnp.full(m_cap, _SPARSE_H0, dtype=jnp.int32)
-        q = 1
-        while q * 2 <= _SPARSE_H0:
-            q *= 2
-        while q >= 1:
-            hm = jnp.where(hm >= nb * q, hm - nb * q, hm)
-            q //= 2
-        return ops_bwt.sparse_refine(rank, blk, pos, hm, ns,
-                                     jnp.int32(_SPARSE_H0))
 
-    return jax.jit(f)
+@functools.lru_cache(maxsize=128)
+def _sparse_fn(b: int, nmax: int, m_cap: int):
+    return jax.jit(lambda rank, tied, ns: _sparse_refine_compact(
+        rank, tied, ns, b, nmax, m_cap))
 
 
 @functools.lru_cache(maxsize=128)
@@ -288,6 +289,48 @@ def _sparse_ranks(batch_j, ns_j, ns_np):
             rank = _sparse_fn(b_pad, nmax, _sparse_cap(b_pad, nmax))(
                 rank, tied, ns_j)
     return rank
+
+
+@functools.lru_cache(maxsize=128)
+def _batched_compress_one_dispatch(nmax: int, batch: int):
+    """The WHOLE compress for a batch as one jitted program: partial
+    doubling rounds, then a device-side `lax.cond` on the batch-total tied
+    count picks sparse refinement or classic resume (the predicate is a
+    scalar, so only one branch executes at runtime), then the fused
+    finish/encode/flatten tail.  No host decision points — the two
+    mid-compress syncs of the split formulation (~25 ms tunnel round trip
+    each) disappear."""
+    m_cap = _sparse_cap(batch, nmax)
+
+    def g(data, ns):
+        rank, tied, h, done, cnt = jax.vmap(
+            lambda d, n: (lambda r, t, hh, dd: (r, t, hh, dd, jnp.sum(t)))(
+                *ops_bwt.bwt_rounds(d, n, _SPARSE_H0)))(data, ns)
+        total_tied = jnp.sum(cnt)
+
+        def sparse_branch(args):
+            rank, tied, ns = args
+            return _sparse_refine_compact(rank, tied, ns, batch, nmax, m_cap)
+
+        def resume_branch(args):
+            rank, _, ns = args
+
+            def rr(r, n):
+                r2, _, _, _ = ops_bwt.bwt_rounds_resume(
+                    r, jnp.zeros_like(r), jnp.int32(_SPARSE_H0),
+                    jnp.bool_(False), n)
+                return r2
+
+            return jax.vmap(rr)(rank, ns)
+
+        rank = jax.lax.cond(total_tied <= m_cap, sparse_branch, resume_branch,
+                            (rank, tied, ns))
+        words, bits, lens, freqs, ms, shifts, cps, aper = jax.vmap(
+            compress_finish_full_fn)(data, ns, rank)
+        flat, nw, total_words = _flatten_payloads(words, bits)
+        return flat, nw, total_words, bits, lens, freqs, ms, shifts, cps, aper
+
+    return jax.jit(g)
 
 
 def _stage1_sparse(batch_j, ns_j, ns_np):
@@ -388,12 +431,11 @@ class JaxBackend:
             with annotate(f"compress_dispatch_b{b_pad}"):
               if _hard:
                 # run-dominated blocks (many doubling rounds, most positions
-                # tied for a long time): the classic fused single-dispatch
-                # stage 1 beats the sparse path's host sync
+                # tied for a long time): the classic fused full-rounds
+                # program skips the sparse machinery entirely
                 out = _batched_full(nmax, b_pad)(batch_j, ns_j)
               else:
-                rank = _sparse_ranks(batch_j, ns_j, ns)
-                out = _batched_finish_full(nmax, b_pad)(batch_j, ns_j, rank)
+                out = _batched_compress_one_dispatch(nmax, b_pad)(batch_j, ns_j)
             pending.append((idxs, ns, out))
 
         # Phase 2 — pull results and assemble containers; later chunks keep
