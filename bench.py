@@ -49,7 +49,7 @@ def run(block_size: int = 131072, backend: str = "jax", files=None) -> dict:
     backs = api.decompress_many(blobs, backend=backend, uniform=True)
     ok = all(a == b for a, b in zip(datas, backs))
 
-    # timed passes (steady state): best of 3 — the tunnelled device shows
+    # timed passes (steady state): best of 5 — the tunnelled device shows
     # ~±20% run-to-run wall variance, and the fastest pass is the cleanest
     # estimate of steady-state throughput.  BMH_TRACE_DIR=/path captures an
     # xprof trace of the passes.
@@ -57,7 +57,7 @@ def run(block_size: int = 131072, backend: str = "jax", files=None) -> dict:
 
     best = None
     with device_trace():
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             blobs = api.compress_many(datas, block_size=block_size,
                                       backend=backend, uniform=True)
