@@ -6,9 +6,9 @@ binary round-trips the 14-file corpus (3,141,622 bytes each way) in 11.06 s
 = 0.568 MB/s on one CPU core (BASELINE.md, measured — the reference
 publishes no throughput numbers).
 
-A full warm pass first triggers all XLA compilations; the timed pass then
-measures steady-state device throughput, which is what a production
-deployment sees.
+A full warm pass first triggers all XLA compilations; the best of five
+timed passes then estimates steady-state throughput (the tunnelled device
+shows ~±20% run-to-run wall variance).
 """
 
 from __future__ import annotations
