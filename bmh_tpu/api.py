@@ -14,6 +14,27 @@ from .utils import container
 from .utils.config import DEFAULT as CONFIG
 
 DEFAULT_BLOCK_SIZE = CONFIG.block_size
+MAX_BLOCK_SIZE = 1 << 21  # CodecConfig.validate's bound (code lengths <= 31)
+
+
+def _validate_block_size(block_size: int) -> None:
+    """Fail fast at compress time: device primitives assume blocks <= 2 MiB
+    (RLE0's f32-exponent log2 is exact below 2^24, packed sort payloads
+    assume rank < 2^21, and code lengths must fit 5 container bits) — an
+    out-of-envelope size would silently produce wrong compressed bits."""
+    if not 1 <= block_size <= MAX_BLOCK_SIZE:
+        raise ValueError(
+            f"block_size {block_size} out of range [1, {MAX_BLOCK_SIZE}]")
+
+
+def _codec_stride() -> int:
+    """The iBWT cursor stride the encoder's checkpoints were computed with
+    (ops.bwt freezes it at import) — recorded in the file header so the
+    recorded stride provably matches the encoded checkpoints even if the
+    config object is mutated later."""
+    from .ops.bwt import CURSOR_STRIDE
+
+    return CURSOR_STRIDE
 
 
 class OracleBackend:
@@ -89,6 +110,7 @@ def _rle1_restore(part: np.ndarray, raw_len: int) -> np.ndarray:
 
 def compress_bytes(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK_SIZE,
                    backend: str = "jax") -> bytes:
+    _validate_block_size(block_size)
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
     blocks, raw_lens = _rle1_blocks(container.split_blocks(arr, block_size))
     results = get_backend(backend).compress_blocks(blocks)
@@ -100,7 +122,8 @@ def compress_bytes(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK_SIZ
                                  r["payload"], cps=r.get("cps", ()),
                                  rle_len=r["rle_len"], pre_len=r["orig_len"])
         )
-    return container.pack_file(packed, block_size, arr.size)
+    return container.pack_file(packed, block_size, arr.size,
+                               stride=_codec_stride())
 
 
 def decompress_bytes(buf: bytes, backend: str = "jax") -> bytes:
@@ -141,6 +164,7 @@ def compress_many(datas: list[bytes | np.ndarray], block_size: int = DEFAULT_BLO
     uniform=True every block pads to the block_size bucket: one compiled
     shape and one dispatch for the whole batch (throughput mode).
     """
+    _validate_block_size(block_size)
     arrs = [np.frombuffer(d, dtype=np.uint8) if isinstance(d, (bytes, bytearray))
             else np.asarray(d, dtype=np.uint8) for d in datas]
     flat_blocks: list[np.ndarray] = []
@@ -169,7 +193,8 @@ def compress_many(datas: list[bytes | np.ndarray], block_size: int = DEFAULT_BLO
                                                cps=r.get("cps", ()),
                                                rle_len=r["rle_len"],
                                                pre_len=r["orig_len"]))
-        out.append(container.pack_file(packed, block_size, arr.size))
+        out.append(container.pack_file(packed, block_size, arr.size,
+                                       stride=_codec_stride()))
     return out
 
 

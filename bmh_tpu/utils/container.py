@@ -11,7 +11,7 @@ without parsing:
 
     file header (24 B, little-endian):
         magic      4s   = b"BZT1"
-        version    u8   = 1
+        version    u8   = 3
         flags      u8   = 0
         reserved   u16  = 0
         block_size u32  nominal uncompressed block length
@@ -50,7 +50,11 @@ import struct
 import numpy as np
 
 MAGIC = b"BZT1"
-VERSION = 2
+# v3 = v2 + the RLE1 block flag (orig_len bit 31 + conditional u32 pre_len);
+# v2 readers would misparse RLE1-flagged blocks instead of failing the
+# version check, so writers always stamp 3 and readers accept both.
+VERSION = 3
+COMPAT_VERSIONS = (2, 3)
 FLAG_STREAMING = 0x01  # blocks are u32-length-prefixed; no up-front table
 FLAG_CRC32 = 0x02      # u32 IEEE CRC of the block region follows the table
 FILE_HEADER = struct.Struct("<4sBBHIIQ")
@@ -214,7 +218,7 @@ def unpack_file(buf: bytes) -> tuple[int, int, list[bytes]]:
     magic, version, flags, _res, block_size, n_blocks, total_size = FILE_HEADER.unpack_from(buf, 0)
     if magic != MAGIC:
         raise ValueError(f"bad magic {magic!r}; not a .bzt file")
-    if version != VERSION:
+    if version not in COMPAT_VERSIONS:
         raise ValueError(f"unsupported .bzt version {version}")
     off = FILE_HEADER.size
     if flags & FLAG_STREAMING:

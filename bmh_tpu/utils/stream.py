@@ -37,9 +37,14 @@ class StreamCompressor:
 
     @classmethod
     def create(cls, path: str, block_size: int) -> "StreamCompressor":
+        # stride comes from the encoder's frozen value (api._codec_stride),
+        # not a pack-time config re-read, so the recorded stride always
+        # matches the checkpoints the appended blocks were encoded with
+        from ..api import _codec_stride
+
         header = container.FILE_HEADER.pack(
             container.MAGIC, container.VERSION, container.FLAG_STREAMING,
-            container._stride_code(None), block_size, 0, 0)
+            container._stride_code(_codec_stride()), block_size, 0, 0)
         with open(path, "wb") as f:
             f.write(header)
             f.flush()
@@ -81,10 +86,12 @@ class StreamCompressor:
 
     def finalize(self, total_size: int) -> None:
         """Patch the header with the final block count and stream length."""
+        from ..api import _codec_stride
+
         header = container.FILE_HEADER.pack(
             container.MAGIC, container.VERSION, container.FLAG_STREAMING,
-            container._stride_code(None), self.block_size, self.blocks_done,
-            total_size)
+            container._stride_code(_codec_stride()), self.block_size,
+            self.blocks_done, total_size)
         self._f.seek(0)
         self._f.write(header)
         self._f.flush()

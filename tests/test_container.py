@@ -82,7 +82,8 @@ def test_cross_stride_decode(tmp_path):
     raw.write_bytes(data)
     out = tmp_path / "out.bzt"
     env = dict(__import__("os").environ)
-    env["BMH_CURSOR_STRIDE"] = "4096"
+    env["BMH_CURSOR_STRIDE"] = "1024"  # non-default: the reader must honor
+    # the recorded stride, not its own (4096) config
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
     repo = __import__("os").path.dirname(__import__("os").path.dirname(
@@ -94,7 +95,27 @@ def test_cross_stride_decode(tmp_path):
     subprocess.run([sys.executable, "-c", code], check=True, env=env,
                    timeout=240)
     blob = out.read_bytes()
-    assert container.file_stride(blob) == 4096
+    assert container.file_stride(blob) == 1024
     from bmh_tpu import decompress_bytes
 
     assert decompress_bytes(blob, backend="jax") == data
+
+
+def test_version_compat():
+    """Writers stamp v3 (RLE1 block flag); readers accept v2 legacy files
+    and reject unknown versions loudly (ADVICE r3: a v2 reader must never
+    silently misparse an RLE1-flagged file)."""
+    import pytest
+
+    blob = container.pack_file([b"abc"], 4096, 3)
+    assert blob[4] == container.VERSION == 3
+    # legacy v2 file (no RLE1 blocks) still unpacks
+    legacy = bytearray(blob)
+    legacy[4] = 2
+    bs, total, blocks = container.unpack_file(bytes(legacy))
+    assert (bs, total, blocks) == (4096, 3, [b"abc"])
+    # unknown future version fails the check
+    future = bytearray(blob)
+    future[4] = 4
+    with pytest.raises(ValueError, match="version"):
+        container.unpack_file(bytes(future))
