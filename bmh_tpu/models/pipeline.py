@@ -238,15 +238,53 @@ def _flatten_payloads(words, bits):
     return flat, nw.astype(jnp.int32), total_words.astype(jnp.int32)
 
 
-@functools.lru_cache(maxsize=128)
-def _batched_full(nmax: int, batch: int):
-    def g(data, ns):
+def _compress_core(data, ns, b: int, nmax: int, hard: bool):
+    """The whole batched compress as one traced program.
+
+    hard=True: run-dominated blocks — classic fused full-rounds program
+    (skips the sparse machinery).  hard=False: partial doubling rounds, then
+    a device-side `lax.cond` on the batch-total tied count picks sparse
+    refinement or classic resume (scalar predicate — one branch executes),
+    then the fused finish/encode/flatten tail.  No host decision points.
+    """
+    if hard:
         words, bits, lens, freqs, ms, shifts, cps, aper = jax.vmap(
             compress_full_fn)(data, ns)
         flat, nw, total_words = _flatten_payloads(words, bits)
         return flat, nw, total_words, bits, lens, freqs, ms, shifts, cps, aper
 
-    return jax.jit(g)
+    m_cap = _sparse_cap(b, nmax)
+    rank, tied, h, done, cnt = jax.vmap(
+        lambda d, n: (lambda r, t, hh, dd: (r, t, hh, dd, jnp.sum(t)))(
+            *ops_bwt.bwt_rounds(d, n, _SPARSE_H0)))(data, ns)
+    total_tied = jnp.sum(cnt)
+
+    def sparse_branch(args):
+        rank, tied, ns = args
+        return _sparse_refine_compact(rank, tied, ns, b, nmax, m_cap)
+
+    def resume_branch(args):
+        rank, _, ns = args
+
+        def rr(r, n):
+            r2, _, _, _ = ops_bwt.bwt_rounds_resume(
+                r, jnp.zeros_like(r), jnp.int32(_SPARSE_H0),
+                jnp.bool_(False), n)
+            return r2
+
+        return jax.vmap(rr)(rank, ns)
+
+    rank = jax.lax.cond(total_tied <= m_cap, sparse_branch, resume_branch,
+                        (rank, tied, ns))
+    words, bits, lens, freqs, ms, shifts, cps, aper = jax.vmap(
+        compress_finish_full_fn)(data, ns, rank)
+    flat, nw, total_words = _flatten_payloads(words, bits)
+    return flat, nw, total_words, bits, lens, freqs, ms, shifts, cps, aper
+
+
+@functools.lru_cache(maxsize=128)
+def _batched_full(nmax: int, batch: int):
+    return jax.jit(lambda data, ns: _compress_core(data, ns, batch, nmax, True))
 
 
 @functools.lru_cache(maxsize=128)
@@ -293,44 +331,68 @@ def _sparse_ranks(batch_j, ns_j, ns_np):
 
 @functools.lru_cache(maxsize=128)
 def _batched_compress_one_dispatch(nmax: int, batch: int):
-    """The WHOLE compress for a batch as one jitted program: partial
-    doubling rounds, then a device-side `lax.cond` on the batch-total tied
-    count picks sparse refinement or classic resume (the predicate is a
-    scalar, so only one branch executes at runtime), then the fused
-    finish/encode/flatten tail.  No host decision points — the two
-    mid-compress syncs of the split formulation (~25 ms tunnel round trip
-    each) disappear."""
-    m_cap = _sparse_cap(batch, nmax)
+    """The WHOLE compress for a batch as ONE jitted program (see
+    _compress_core) — the two mid-compress host syncs of the split
+    formulation (~25 ms tunnel round trip each) disappear."""
+    return jax.jit(lambda data, ns: _compress_core(data, ns, batch, nmax, False))
 
-    def g(data, ns):
-        rank, tied, h, done, cnt = jax.vmap(
-            lambda d, n: (lambda r, t, hh, dd: (r, t, hh, dd, jnp.sum(t)))(
-                *ops_bwt.bwt_rounds(d, n, _SPARSE_H0)))(data, ns)
-        total_tied = jnp.sum(cnt)
 
-        def sparse_branch(args):
-            rank, tied, ns = args
-            return _sparse_refine_compact(rank, tied, ns, batch, nmax, m_cap)
+# ---------------------------------------------------------------------------
+# Production multi-device dispatch (SURVEY §2.4): the same one-dispatch
+# compress program, shard_mapped over a 1-D local-device mesh.  Blocks are
+# independent (own BWT shift, own Huffman table), so the program is purely
+# block-parallel — no collectives; each device's compacted payload words
+# come back in its own region of the block-sharded flat output.  The
+# reference is a single main() on one core (/root/reference/main.cpp:415-457);
+# this is the layer it lacks, now on the path api.compress_bytes uses.
+# ---------------------------------------------------------------------------
 
-        def resume_branch(args):
-            rank, _, ns = args
+# observability: the last compress/decompress device fan-out (asserted by
+# the multichip dryrun and the sharding unit tests)
+LAST_DISPATCH = {"compress_ndev": 1, "decompress_ndev": 1}
 
-            def rr(r, n):
-                r2, _, _, _ = ops_bwt.bwt_rounds_resume(
-                    r, jnp.zeros_like(r), jnp.int32(_SPARSE_H0),
-                    jnp.bool_(False), n)
-                return r2
 
-            return jax.vmap(rr)(rank, ns)
+def _ndev_for(b_pad: int) -> int:
+    """Devices to shard a b_pad-block dispatch over: largest power of two
+    <= min(local devices, BMH_DEVICES cap, b_pad).  1 = single-device."""
+    cap = config_mod.DEFAULT.devices
+    if cap == 1:
+        return 1
+    try:
+        nd = len(jax.local_devices())
+    except Exception:
+        return 1
+    if cap > 0:
+        nd = min(nd, cap)
+    nd = min(nd, b_pad)
+    return 1 << max(nd.bit_length() - 1, 0)
 
-        rank = jax.lax.cond(total_tied <= m_cap, sparse_branch, resume_branch,
-                            (rank, tied, ns))
-        words, bits, lens, freqs, ms, shifts, cps, aper = jax.vmap(
-            compress_finish_full_fn)(data, ns, rank)
-        flat, nw, total_words = _flatten_payloads(words, bits)
-        return flat, nw, total_words, bits, lens, freqs, ms, shifts, cps, aper
 
-    return jax.jit(g)
+@functools.lru_cache(maxsize=128)
+def _sharded_compress(nmax: int, batch: int, ndev: int, hard: bool):
+    """_compress_core shard_mapped over ndev local devices (batch % ndev
+    == 0).  Each device runs the identical program on its batch/ndev blocks;
+    per-shard scalars (total_words) come back as (ndev,) so the host can
+    pull exactly each device's compacted words."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel import mesh as mesh_mod
+
+    mesh = mesh_mod.make_mesh(ndev)
+    b_loc = batch // ndev
+
+    def local(data, ns):
+        flat, nw, total_words, bits, lens, freqs, ms, shifts, cps, aper = \
+            _compress_core(data, ns, b_loc, nmax, hard)
+        return (flat, nw, total_words.reshape(1), bits, lens, freqs, ms,
+                shifts, cps, aper)
+
+    sharded = shard_map(local, mesh=mesh,
+                        in_specs=(P(mesh_mod.BLOCK_AXIS), P(mesh_mod.BLOCK_AXIS)),
+                        out_specs=tuple(P(mesh_mod.BLOCK_AXIS) for _ in range(10)),
+                        check_vma=False)
+    return jax.jit(sharded)
 
 
 def _stage1_sparse(batch_j, ns_j, ns_np):
@@ -428,28 +490,52 @@ class JaxBackend:
                 batch[row, : arrs[i].size] = arrs[i]
                 ns[row] = arrs[i].size
             batch_j, ns_j = jnp.asarray(batch), jnp.asarray(ns)
+            ndev = _ndev_for(b_pad)
+            LAST_DISPATCH["compress_ndev"] = ndev
             with annotate(f"compress_dispatch_b{b_pad}"):
-              if _hard:
+              if ndev > 1:
+                # multi-chip host: shard the batch over the local mesh
+                # (_hard picks the full-rounds program per shard)
+                out = _sharded_compress(nmax, b_pad, ndev, _hard)(batch_j, ns_j)
+              elif _hard:
                 # run-dominated blocks (many doubling rounds, most positions
                 # tied for a long time): the classic fused full-rounds
                 # program skips the sparse machinery entirely
                 out = _batched_full(nmax, b_pad)(batch_j, ns_j)
               else:
                 out = _batched_compress_one_dispatch(nmax, b_pad)(batch_j, ns_j)
-            pending.append((idxs, ns, out))
+            pending.append((idxs, ns, out, ndev))
 
         # Phase 2 — pull results and assemble containers; later chunks keep
         # executing on the device while earlier ones are packaged here.
         # Only the first total_words of the compacted word stream cross the
         # tunnel (~ the compressed size), not the padded (B, W) buffer.
-        for idxs, ns, out in pending:
+        for idxs, ns, out, ndev in pending:
           with annotate("compress_assemble"):
             flat, nw, total_words, total_bits, lens, freqs, ms, shifts, \
                 cps, aper = out
             bits_np = np.asarray(total_bits)
             nw_np = np.asarray(nw)
-            woffs_np = np.cumsum(nw_np) - nw_np
-            flat_np = np.asarray(flat[: int(total_words)]).astype(">u4")
+            if ndev > 1:
+                # block-sharded layout: device d's compacted words occupy
+                # flat[d*b_loc*W : d*b_loc*W + total_words[d]]; pull exactly
+                # those regions and rebase per-row offsets onto their
+                # concatenation
+                b_pad_out = nw_np.size
+                b_loc = b_pad_out // ndev
+                w_cap = flat.shape[0] // b_pad_out
+                tw = np.asarray(total_words)  # (ndev,)
+                flat_np = np.concatenate([
+                    np.asarray(flat[d * b_loc * w_cap:
+                                    d * b_loc * w_cap + int(tw[d])])
+                    for d in range(ndev)]).astype(">u4")
+                nw2 = nw_np.reshape(ndev, b_loc)
+                base = np.concatenate([[0], np.cumsum(tw)[:-1]])
+                woffs_np = (np.cumsum(nw2, axis=1) - nw2
+                            + base[:, None]).reshape(-1)
+            else:
+                woffs_np = np.cumsum(nw_np) - nw_np
+                flat_np = np.asarray(flat[: int(total_words)]).astype(">u4")
             lens_np = np.asarray(lens).astype(np.uint8)
             freqs_np = np.asarray(freqs)
             shifts_np = np.asarray(shifts)
@@ -510,6 +596,18 @@ class JaxBackend:
 
         wbytes = DECODE_CHUNK_BITS // 8
 
+        # multi-chip host: successive dispatches round-robin over the local
+        # devices (each dispatch is one committed-input jit call; blocks are
+        # independent so no collectives are needed and the per-dispatch
+        # program is unchanged — a 1-chip host behaves exactly as before)
+        try:
+            devs = jax.local_devices()
+        except Exception:
+            devs = [None]
+        cap = config_mod.DEFAULT.devices
+        if cap > 0:
+            devs = devs[:cap]
+
         pending = []  # dispatch all flat-decode chunks, then pull (async)
         for (nmax, stride_g), f_idxs in fgroups.items():
           for idxs in _chunks(f_idxs):
@@ -560,12 +658,14 @@ class JaxBackend:
                     cc = np.asarray(bc, dtype=np.int32)[:kcp]
                     cps[row, : cc.size] = cc
 
-            data = fn(jnp.asarray(words), jnp.asarray(lens_all),
-                      jnp.asarray(seg_start), jnp.asarray(seg_start_idx),
-                      jnp.asarray(seg_id),
-                      jnp.asarray(ms), jnp.asarray(ns), jnp.asarray(shifts),
-                      jnp.asarray(cps))
+            dev = devs[len(pending) % len(devs)]
+            put = ((lambda x: jax.device_put(x, dev)) if dev is not None
+                   else jnp.asarray)
+            data = fn(put(words), put(lens_all),
+                      put(seg_start), put(seg_start_idx), put(seg_id),
+                      put(ms), put(ns), put(shifts), put(cps))
             pending.append((idxs, ns, data))
+        LAST_DISPATCH["decompress_ndev"] = max(1, min(len(devs), len(pending)))
 
         for idxs, ns, data in pending:
             data_np = np.asarray(data)

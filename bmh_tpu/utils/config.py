@@ -60,6 +60,9 @@ class CodecConfig:
     # strictly shrinks; collapses the long-run inputs that force maximum
     # doubling rounds (Calgary pic) and shrinks them further
     rle1: bool = field(default_factory=lambda: _env_bool("BMH_RLE1", True))
+    # production multi-device dispatch: 0 = auto (shard every batch over all
+    # local devices via shard_map), 1 = single-device, N = cap at N devices
+    devices: int = field(default_factory=lambda: _env_int("BMH_DEVICES", 0))
     debug_sparse: bool = field(default_factory=lambda: _env_bool("BMH_DEBUG_SPARSE", False))
 
     def validate(self) -> "CodecConfig":
@@ -79,6 +82,8 @@ class CodecConfig:
             raise ValueError("imtf_chunk must be a power of two")
         if self.cursor_stride & (self.cursor_stride - 1) or self.cursor_stride < 64:
             raise ValueError("cursor_stride must be a power of two >= 64")
+        if self.devices < 0:
+            raise ValueError("devices must be >= 0 (0 = all local devices)")
         return self
 
     def describe(self) -> str:

@@ -84,3 +84,39 @@ def test_roundtrip_step_production_block_size(mesh8):
     assert int(total_ok) == int(ns.sum())
     for row in range(b):
         np.testing.assert_array_equal(out[row, : ns[row]], batch[row, : ns[row]])
+
+
+def test_production_backend_shards_over_devices(rng):
+    """api.compress_bytes must dispatch sharded batches over all local
+    devices (VERDICT r3 item 1) with results byte-identical to the
+    single-device path, and decompress must round-robin its dispatches."""
+    from bmh_tpu import api
+    from bmh_tpu.models import pipeline
+    from bmh_tpu.utils import config as config_mod
+
+    data = bytes(rng.integers(0, 200, 16 * 1024).astype(np.uint8))
+    assert config_mod.DEFAULT.devices == 0  # auto
+    blob_multi = api.compress_bytes(data, block_size=1024)
+    assert pipeline.LAST_DISPATCH["compress_ndev"] == 8
+    assert api.decompress_bytes(blob_multi) == data
+
+    old = config_mod.DEFAULT.devices
+    try:
+        config_mod.DEFAULT.devices = 1
+        blob_single = api.compress_bytes(data, block_size=1024)
+        assert pipeline.LAST_DISPATCH["compress_ndev"] == 1
+    finally:
+        config_mod.DEFAULT.devices = old
+    assert blob_multi == blob_single
+
+
+def test_production_backend_partial_batch_shards(rng):
+    """Batches smaller than the device count shard over a power-of-two
+    subset (b_pad=4 blocks -> 4 devices), and ragged tails round-trip."""
+    from bmh_tpu import api
+    from bmh_tpu.models import pipeline
+
+    data = bytes(rng.integers(0, 256, 3 * 1024 + 123).astype(np.uint8))
+    blob = api.compress_bytes(data, block_size=1024)
+    assert pipeline.LAST_DISPATCH["compress_ndev"] >= 2
+    assert api.decompress_bytes(blob) == data
