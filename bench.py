@@ -6,9 +6,10 @@ binary round-trips the 14-file corpus (3,141,622 bytes each way) in 11.06 s
 = 0.568 MB/s on one CPU core (BASELINE.md, measured — the reference
 publishes no throughput numbers).
 
-A full warm pass first triggers all XLA compilations; the best of five
-timed passes then estimates steady-state throughput (the tunnelled device
-shows ~±20% run-to-run wall variance).
+A full warm pass first triggers all XLA compilations; five timed passes
+follow.  The headline `value` is the MEDIAN pass (the honest steady-state
+estimate through a tunnel with ~±20% run-to-run wall variance);
+`best_MBps` records the fastest pass alongside it.
 """
 
 from __future__ import annotations
@@ -49,13 +50,12 @@ def run(block_size: int = 131072, backend: str = "jax", files=None) -> dict:
     backs = api.decompress_many(blobs, backend=backend, uniform=True)
     ok = all(a == b for a, b in zip(datas, backs))
 
-    # timed passes (steady state): best of 5 — the tunnelled device shows
-    # ~±20% run-to-run wall variance, and the fastest pass is the cleanest
-    # estimate of steady-state throughput.  BMH_TRACE_DIR=/path captures an
-    # xprof trace of the passes.
+    # timed passes (steady state): 5 passes; the MEDIAN is the headline
+    # (best-of-N is a favorable statistic through a ~±20%-variance tunnel;
+    # VERDICT r3 item 7).  BMH_TRACE_DIR=/path captures an xprof trace.
     from bmh_tpu.utils.tracing import device_trace
 
-    best = None
+    passes = []
     with device_trace():
         for _ in range(5):
             t0 = time.perf_counter()
@@ -65,9 +65,10 @@ def run(block_size: int = 131072, backend: str = "jax", files=None) -> dict:
             backs = api.decompress_many(blobs, backend=backend, uniform=True)
             t2 = time.perf_counter()
             ok = ok and all(a == b for a, b in zip(datas, backs))
-            if best is None or (t2 - t0) < best[0]:
-                best = (t2 - t0, t1 - t0, t2 - t1)
-    wall, t_comp, t_dec = best
+            passes.append((t2 - t0, t1 - t0, t2 - t1))
+    passes.sort()
+    wall, t_comp, t_dec = passes[len(passes) // 2]  # median pass
+    best_wall = passes[0][0]
     total_out = sum(len(b) for b in blobs)
     mbps = 2 * total_in / wall / 1e6
     return {
@@ -76,6 +77,8 @@ def run(block_size: int = 131072, backend: str = "jax", files=None) -> dict:
         "unit": "MB/s",
         "vs_baseline": round(mbps / REFERENCE_ROUNDTRIP_MBPS, 2),
         "bit_exact": ok,
+        "median_MBps": round(mbps, 3),
+        "best_MBps": round(2 * total_in / best_wall / 1e6, 3),
         "compress_s": round(t_comp, 3),
         "decompress_s": round(t_dec, 3),
         "compressed_bytes": total_out,
@@ -86,14 +89,41 @@ def run(block_size: int = 131072, backend: str = "jax", files=None) -> dict:
     }
 
 
+def _enwik_like_stream(n: int, rng) -> bytes:
+    """Genuinely enwik-like stream: random slices of Calgary book1 (English
+    prose — the same statistics class as enwik's Wikipedia text) spliced at
+    random offsets so the stream is aperiodic at every scale.  Falls back to
+    a skewed synthetic alphabet when the corpus is absent."""
+    import numpy as np
+
+    from bmh_tpu.utils import corpus
+
+    try:
+        base = np.frombuffer(corpus.read_corpus_file("book1"), dtype=np.uint8)
+    except Exception:
+        probs = np.exp(-0.25 * np.arange(64))
+        probs /= probs.sum()
+        sym = rng.choice(64, n, p=probs).astype(np.uint8) + 32
+        sym[rng.random(n) < 0.05] = 32
+        return sym.tobytes()
+    parts = []
+    got = 0
+    while got < n:
+        ln = int(rng.integers(4096, 65536))
+        st = int(rng.integers(0, max(base.size - ln, 1)))
+        parts.append(base[st:st + ln])
+        got += parts[-1].size
+    return np.concatenate(parts)[:n].tobytes()
+
+
 def run_synthetic(total_mb: int = 64, block_size: int = 131072,
                   backend: str = "jax") -> dict:
-    """BASELINE config-5 harness: enwik-style synthetic stream throughput.
+    """BASELINE config-5 harness: enwik-style stream throughput.
 
-    Generates a Markov-ish byte stream (text-like entropy), compresses and
-    decompresses it through the block pipeline, and reports round-trip MB/s.
-    Sized by --mb so the same harness scales from smoke test to the 1 GiB
-    target as kernel throughput grows.
+    Builds an English-text stream (book1 slices — enwik statistics class),
+    compresses and decompresses it through the block pipeline, and reports
+    round-trip MB/s.  Sized by --mb so the same harness scales from smoke
+    test to the 1 GiB target as kernel throughput grows.
     """
     import numpy as np
 
@@ -102,13 +132,7 @@ def run_synthetic(total_mb: int = 64, block_size: int = 131072,
     _enable_compile_cache()
     rng = np.random.default_rng(42)
     n = total_mb << 20
-    # text-like stream: ~30 hot symbols with skewed frequencies + runs
-    probs = np.exp(-0.25 * np.arange(64))
-    probs /= probs.sum()
-    sym = rng.choice(64, n, p=probs).astype(np.uint8) + 32
-    runs = rng.random(n) < 0.05
-    sym[runs] = 32
-    data = sym.tobytes()
+    data = _enwik_like_stream(n, rng)
 
     blob = api.compress_bytes(data, block_size=block_size, backend=backend)  # warm
     back = api.decompress_bytes(blob, backend=backend)
