@@ -429,20 +429,21 @@ def _decode_flat(nc: int, nmax: int, batch: int, chunk_bits: int, maxl: int,
           ms, ns, shifts, cps):
         count_b, sym_b = jax.vmap(ops_huf.decode_tables_device)(lens_all)
         count_t = count_b[seg_id].T  # (32, NC)
-        syms = ops_huf.gap_decode_flat(words_flat, count_t, seg_start,
-                                       seg_start_idx, seg_id, sym_b, ms,
-                                       nmax, chunk_bits, maxl)
+        # fused gap decode + RLE0 inverse: MTF codes come out placed, with
+        # run positions as the zero fill — no dense RLE0-symbol plane and
+        # no symbol-placement scatter (VERDICT r3 item 2)
+        codes = ops_huf.gap_decode_rle0_flat(
+            words_flat, count_t, seg_start, seg_start_idx, seg_id, sym_b,
+            ms, ns, nmax, chunk_bits, maxl)
 
-        def per_block(syms_b, m, shift, cp, n):
-            codes_b = ops_rle.rle0_decode(syms_b, m, n)
+        def per_block(codes_b, shift, cp, n):
             last = ops_mtf.mtf_inverse(codes_b, n, MTF_CHUNK)
             return ops_bwt.bwt_inverse_cursors(last, shift, cp, n,
                                                stride=stride)
 
-        # syms has a trailing dummy row (pad chunks' segment); drop it
         b_real_rows = shifts.shape[0]
-        return jax.vmap(per_block)(syms[:b_real_rows], ms[:b_real_rows],
-                                   shifts, cps, ns[:b_real_rows])
+        return jax.vmap(per_block)(codes[:b_real_rows], shifts, cps,
+                                   ns[:b_real_rows])
 
     return f, kcp
 

@@ -375,6 +375,180 @@ def unpack_bit_tiles_flat(words: jax.Array, chunk_bits: int) -> jax.Array:
     return jnp.concatenate([tile, nxt], axis=1).T  # (steps, NC)
 
 
+def _decode_phases(words, count_t, seg_start, seg_start_idx,
+                   chunk_bits: int, maxl: int):
+    """Shared gap-decode front end: phase A, segmented composition of exit
+    maps into per-chunk entry gaps, phase B.
+
+    Returns (idxs (steps, NC) int32 emitted canonical indices or -1,
+    out_off (NC,) int32 exclusive symbol offset of each chunk within its
+    block, entry (NC,) int32 entry gaps).
+    """
+    from . import pallas_decode
+
+    nc = count_t.shape[1]
+    if _use_pallas_decode():
+        wext = pallas_decode.words_ext(words, chunk_bits)
+        cnt_map, exit_map = pallas_decode.phase_a(
+            wext, count_t, chunk_bits=chunk_bits, maxl=maxl, interpret=False)
+    else:
+        tiles = unpack_bit_tiles_flat(words, chunk_bits)
+        cnt_map, exit_map = pallas_decode.phase_a_scan(
+            tiles, count_t, chunk_bits=chunk_bits, maxl=maxl)
+
+    # segmented prefix composition of exit maps -> per-chunk entry gap
+    maps = exit_map.T  # (NC, GAPS); maps[c][g] = exit gap of chunk c entered at g
+    flags = seg_start.astype(jnp.int32)
+    g_iota = jnp.arange(GAPS, dtype=jnp.int32)
+
+    def combine(a, bgrp):
+        ma, fa = a
+        mb, fb = bgrp
+        # composed[i, g] = mb[i, ma[i, g]] as a compare-select over the 32
+        # gaps: take_along_axis lowers to a random gather (~10 ns/elem on
+        # TPU — NC*GAPS gathers per scan level), while the (NC, 32, 32)
+        # masked sum fuses into VPU work
+        composed = jnp.sum(jnp.where(ma[:, :, None] == g_iota[None, None, :],
+                                     mb[:, None, :], 0), axis=-1)
+        return jnp.where(fb[:, None] > 0, mb, composed), fa | fb
+
+    if nc > 1:
+        pmaps, _ = jax.lax.associative_scan(combine, (maps, flags), axis=0)
+        prev = jnp.concatenate([jnp.zeros(1, jnp.int32), pmaps[:-1, 0]])
+    else:
+        prev = jnp.zeros(1, jnp.int32)
+    entry = jnp.where(seg_start, 0, prev).astype(jnp.int32)
+
+    counts_sel = jnp.sum(
+        jnp.where(entry[None, :] == g_iota[:, None], cnt_map, 0), axis=0)
+    g = jnp.cumsum(counts_sel)
+    ex = g - counts_sel  # exclusive global cumsum
+    out_off = ex - ex[seg_start_idx]  # exclusive cumsum within each block
+
+    if _use_pallas_decode():
+        idxs = pallas_decode.phase_b(
+            wext, count_t, entry, chunk_bits=chunk_bits, maxl=maxl,
+            interpret=False)
+    else:
+        idxs = pallas_decode.phase_b_scan(
+            tiles, count_t, entry, chunk_bits=chunk_bits, maxl=maxl)
+    return idxs, out_off, entry
+
+
+def _seg_scan_chunks(vals, seg_start, op: str, init):
+    """Exclusive segmented scan over the (NC,) chunk axis: returns, per
+    chunk, the op-combine of all earlier chunks in the same block (init at
+    each block's first chunk).  op in {"sum", "max"}."""
+    flags = seg_start.astype(jnp.int32)
+
+    if op == "sum":
+        def combine(a, bgrp):
+            va, fa = a
+            vb, fb = bgrp
+            return jnp.where(fb > 0, vb, va + vb), fa | fb
+    else:
+        def combine(a, bgrp):
+            va, fa = a
+            vb, fb = bgrp
+            return jnp.where(fb > 0, vb, jnp.maximum(va, vb)), fa | fb
+
+    inc, _ = jax.lax.associative_scan(combine, (vals, flags), axis=0)
+    prev = jnp.concatenate([jnp.full((1,), init, vals.dtype), inc[:-1]])
+    return jnp.where(seg_start, jnp.array(init, vals.dtype), prev)
+
+
+def gap_decode_rle0_flat(words: jax.Array, count_t: jax.Array,
+                         seg_start: jax.Array, seg_start_idx: jax.Array,
+                         seg_id: jax.Array, sym_tbl: jax.Array,
+                         ms: jax.Array, ns: jax.Array,
+                         nmax: int, chunk_bits: int,
+                         maxl: int = MAX_LEN) -> jax.Array:
+    """Fused parallel Huffman gap decode + RLE0 inverse over the flat chunk
+    axis: (packed payload words of a whole batch) -> (B, nmax) MTF codes.
+
+    Replaces the two chained placements of the split formulation — the
+    symbol-placement scatter into a dense (B, nmax) RLE0-symbol plane
+    (XLA lowers it as sort+segment, ~58 ms/corpus pass) and rle0_decode's
+    literal scatter — with run-length logic computed directly in the
+    (steps, NC) emission layout via two-level segmented scans (down each
+    chunk column, then a tiny (NC,) segmented scan carrying chunk totals
+    across each block), so only the surviving LITERALS are placed, by one
+    packed single-array sort + an indices-sorted scatter (or a direct
+    scatter when the packed key would not fit 32 bits).
+
+    Reference hot loops replaced: the bit-serial decode
+    /root/reference/main.cpp:259-281 and the (absent there) run stage.
+    ms: (B+1,) true RLE0 symbol counts; ns: (B+1,) decoded byte lengths.
+    Returns (B, nmax) uint8 MTF codes for the b_real = seg rows (runs are
+    the zero fill).
+    """
+    idxs, out_off, _ = _decode_phases(words, count_t, seg_start,
+                                      seg_start_idx, chunk_bits, maxl)
+    b = sym_tbl.shape[0]  # b_pad + 1 (last row backs pad chunks)
+    b_real = b - 1
+    flat_cap = b_real * nmax
+
+    valid = idxs >= 0
+    local = jnp.cumsum(valid.astype(jnp.int32), axis=0) - valid  # exclusive
+    within = out_off[None, :] + local        # symbol index within the block
+    keep = valid & (within < ms[seg_id][None, :])
+
+    # canonical index -> RLE0 symbol, per chunk's block: compare-select
+    # over the 257-entry tables (sym_tbl[seg_id] is an (NC, A) row gather
+    # of contiguous 1 KiB rows — cheap, unlike per-element gathers)
+    amax = sym_tbl.shape[1] - 1
+    ci = jnp.clip(idxs, 0, amax)
+    sym_t = sym_tbl[seg_id]                  # (NC, A)
+    a_iota = jnp.arange(sym_tbl.shape[1], dtype=jnp.int32)
+    s = jnp.sum(jnp.where(ci[:, :, None] == a_iota[None, None, :],
+                          sym_t[None, :, :], 0), axis=-1)
+
+    isrun = keep & (s <= 1)
+    islit = keep & (s > 1)
+
+    # j = index within the current zero-run group = within - (last literal's
+    # within) - 1; two-level segmented cummax in symbol (chunk-major) order
+    lit_pos = jnp.where(islit, within, -1)
+    cm = jax.lax.cummax(lit_pos, axis=0)
+    carry_max = _seg_scan_chunks(cm[-1], seg_start, "max", -1)
+    lastlit = jnp.maximum(cm, carry_max[None, :])
+    j = within - lastlit - 1
+
+    # decoded-position contribution of each symbol (bijective base 2 for
+    # runs, 1 for literals; ops/rle.py rle0_decode semantics)
+    contrib = jnp.where(islit, 1,
+                        jnp.where(isrun, (1 + s) << jnp.clip(j, 0, 30), 0))
+    cs = jnp.cumsum(contrib, axis=0)
+    carry_sum = _seg_scan_chunks(cs[-1], seg_start, "sum", 0)
+    out_pos = cs - contrib + carry_sum[None, :]  # exclusive, within block
+
+    place = islit & (out_pos < ns[seg_id][None, :])
+    target = jnp.where(place, seg_id[None, :] * nmax + out_pos, flat_cap)
+    val = jnp.clip(s - 1, 0, 255)
+
+    from ..utils import config as config_mod
+
+    use_sort = (config_mod.DEFAULT.decode_place == "sort"
+                and flat_cap <= (1 << 22))
+    out = jnp.zeros(flat_cap + 1, dtype=jnp.int32)
+    if use_sort:
+        # ONE packed single-array sort (target 23 bits | value 9 bits)
+        # compacts the ragged literal lanes into ascending-target order;
+        # the follow-up scatter then carries sorted, unique indices —
+        # the lowering XLA would otherwise synthesize inside the scatter,
+        # done here by the cheaper single-array sort
+        key = jnp.where(place, (target.astype(jnp.uint32) << 9)
+                        | val.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
+        srt = jax.lax.sort(key.reshape(-1))[:flat_cap]
+        tgt2 = (srt >> 9).astype(jnp.int32)   # sentinels -> >= flat_cap
+        out = out.at[tgt2].set(                # OOB sentinels are dropped
+            (srt & jnp.uint32(511)).astype(jnp.int32),
+            mode="drop", indices_are_sorted=True)
+    else:
+        out = out.at[target.reshape(-1)].set(val.reshape(-1), mode="drop")
+    return out[:flat_cap].reshape(b_real, nmax).astype(jnp.uint8)
+
+
 def gap_decode_flat(words: jax.Array, count_t: jax.Array,
                     seg_start: jax.Array, seg_start_idx: jax.Array,
                     seg_id: jax.Array, sym_tbl: jax.Array, n: jax.Array,
@@ -399,50 +573,9 @@ def gap_decode_flat(words: jax.Array, count_t: jax.Array,
     n:         (B,) int32 true symbol counts
     Returns (B, nmax) uint8 MTF codes (pad positions zero-filled).
     """
-    from . import pallas_decode
-
-    nc = count_t.shape[1]
+    idxs, out_off, _seg = _decode_phases(words, count_t, seg_start,
+                                         seg_start_idx, chunk_bits, maxl)
     b = sym_tbl.shape[0]
-
-    if _use_pallas_decode():
-        wext = pallas_decode.words_ext(words, chunk_bits)
-        cnt_map, exit_map = pallas_decode.phase_a(
-            wext, count_t, chunk_bits=chunk_bits, maxl=maxl, interpret=False)
-    else:
-        tiles = unpack_bit_tiles_flat(words, chunk_bits)
-        cnt_map, exit_map = pallas_decode.phase_a_scan(
-            tiles, count_t, chunk_bits=chunk_bits, maxl=maxl)
-
-    # segmented prefix composition of exit maps -> per-chunk entry gap
-    maps = exit_map.T  # (NC, GAPS); maps[c][g] = exit gap of chunk c entered at g
-    flags = seg_start.astype(jnp.int32)
-
-    def combine(a, bgrp):
-        ma, fa = a
-        mb, fb = bgrp
-        composed = jnp.take_along_axis(mb, ma, axis=-1)
-        return jnp.where(fb[:, None] > 0, mb, composed), fa | fb
-
-    if nc > 1:
-        pmaps, _ = jax.lax.associative_scan(combine, (maps, flags), axis=0)
-        prev = jnp.concatenate([jnp.zeros(1, jnp.int32), pmaps[:-1, 0]])
-    else:
-        prev = jnp.zeros(1, jnp.int32)
-    entry = jnp.where(seg_start, 0, prev).astype(jnp.int32)
-
-    counts_sel = jnp.take_along_axis(cnt_map, entry[None, :], axis=0)[0]
-    g = jnp.cumsum(counts_sel)
-    ex = g - counts_sel  # exclusive global cumsum
-    out_off = ex - ex[seg_start_idx]  # exclusive cumsum within each block
-
-    if _use_pallas_decode():
-        idxs = pallas_decode.phase_b(
-            wext, count_t, entry, chunk_bits=chunk_bits, maxl=maxl,
-            interpret=False)
-    else:
-        idxs = pallas_decode.phase_b_scan(
-            tiles, count_t, entry, chunk_bits=chunk_bits, maxl=maxl)
-
     valid = idxs >= 0
     local = jnp.cumsum(valid.astype(jnp.int32), axis=0) - valid  # exclusive
     within = out_off[None, :] + local

@@ -69,6 +69,16 @@ def rle0_encode(codes: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]:
     out_idx = jnp.cumsum(emit.astype(jnp.int32)) - emit
     m = jnp.sum(emit.astype(jnp.int32))
 
+    if nmax <= (1 << 22):
+        # stream compaction by ONE packed single-array sort (out_idx 23
+        # bits | sym 9 bits): a 4M-element single-array sort runs ~3x
+        # faster than the ragged scatter lowering it replaces (TRACE_r03
+        # fusion.26, ~20 ms/corpus pass)
+        key = jnp.where(emit, (out_idx.astype(jnp.uint32) << 9)
+                        | sym.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
+        srt = jax.lax.sort(key)
+        return jnp.where(pos < m, (srt & jnp.uint32(511)).astype(jnp.int32),
+                         0), m
     target = jnp.where(emit, out_idx, nmax)
     out = jnp.zeros(nmax + 1, dtype=jnp.int32)
     out = out.at[target].set(sym, mode="drop")

@@ -63,6 +63,11 @@ class CodecConfig:
     # production multi-device dispatch: 0 = auto (shard every batch over all
     # local devices via shard_map), 1 = single-device, N = cap at N devices
     devices: int = field(default_factory=lambda: _env_int("BMH_DEVICES", 0))
+    # literal placement in the fused decode (ops/huffman.gap_decode_rle0_flat):
+    # "sort" = packed single-array sort + indices-sorted scatter (default;
+    # falls back to scatter when the packed key exceeds 32 bits),
+    # "scatter" = direct ragged scatter
+    decode_place: str = field(default_factory=lambda: _env_str("BMH_DECODE_PLACE", "sort"))
     debug_sparse: bool = field(default_factory=lambda: _env_bool("BMH_DEBUG_SPARSE", False))
 
     def validate(self) -> "CodecConfig":
@@ -84,6 +89,8 @@ class CodecConfig:
             raise ValueError("cursor_stride must be a power of two >= 64")
         if self.devices < 0:
             raise ValueError("devices must be >= 0 (0 = all local devices)")
+        if self.decode_place not in ("sort", "scatter"):
+            raise ValueError("decode_place must be 'sort' or 'scatter'")
         return self
 
     def describe(self) -> str:

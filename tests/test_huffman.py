@@ -184,3 +184,92 @@ def test_device_decode_tables_match_host(rng):
         npres = int((lens > 0).sum())
         np.testing.assert_array_equal(np.asarray(sym)[:npres],
                                       want["sym"][:npres])
+
+
+def fused_rle0_decode(code_blocks: list[np.ndarray], chunk_bits: int,
+                      nmax: int):
+    """Oracle-encode each MTF-code block (RLE0 + canonical Huffman), then
+    decode the whole batch with the FUSED gap_decode_rle0_flat."""
+    from bmh_tpu.ops import rle as jrle
+
+    wbytes = chunk_bits // 8
+    words_parts, spans, tables = [], [], []
+    ms, ns = [], []
+    maxl = 1
+    for codes in code_blocks:
+        syms = oracle.rle0(codes)
+        freqs = oracle.histogram(syms, alphabet=jrle.RLE_ALPHABET)
+        lens = jhuf.code_lengths_from_hist(freqs)
+        ctab = jhuf.canonical_code_table(lens)
+        payload, _ = oracle.huffman_encode(syms, lens, ctab)
+        nc_b = max(1, -(-len(payload) // wbytes))
+        buf = payload + b"\x00" * (nc_b * wbytes - len(payload))
+        words_parts.append(np.frombuffer(buf, dtype=">u4").astype(np.uint32))
+        spans.append(nc_b)
+        tables.append(jhuf.decode_tables(lens))
+        ms.append(syms.size)
+        ns.append(codes.size)
+        maxl = max(maxl, int(lens.max()))
+    nc_true = sum(spans)
+    nc = -(-nc_true // 8) * 8
+    b = len(code_blocks)
+    words = np.concatenate(words_parts + [np.zeros((nc - nc_true) * wbytes // 4,
+                                                   np.uint32)])
+    A = jrle.RLE_ALPHABET
+    count_t = np.zeros((32, nc), np.int32)
+    seg_id = np.full(nc, b, np.int32)
+    seg_start = np.zeros(nc, bool)
+    seg_start[nc_true:] = True
+    seg_start_idx = np.arange(nc, dtype=np.int32)
+    sym_tbl = np.zeros((b + 1, A), np.int32)
+    m_arr = np.zeros(b + 1, np.int32)
+    n_arr = np.zeros(b + 1, np.int32)
+    c0 = 0
+    for i, (t, nc_b) in enumerate(zip(tables, spans)):
+        count_t[:, c0:c0 + nc_b] = t["count"][:, None]
+        seg_id[c0:c0 + nc_b] = i
+        seg_start[c0] = True
+        seg_start_idx[c0:c0 + nc_b] = c0
+        sym_tbl[i] = t["sym"][:A]
+        m_arr[i] = ms[i]
+        n_arr[i] = ns[i]
+        c0 += nc_b
+    out = jhuf.gap_decode_rle0_flat(
+        jnp.asarray(words), jnp.asarray(count_t), jnp.asarray(seg_start),
+        jnp.asarray(seg_start_idx), jnp.asarray(seg_id), jnp.asarray(sym_tbl),
+        jnp.asarray(m_arr), jnp.asarray(n_arr), nmax, chunk_bits, maxl=maxl)
+    return np.asarray(out)
+
+
+def _mtf_code_cases(rng):
+    """MTF-code streams with realistic zero dominance + adversarial runs."""
+    z = np.zeros(700, dtype=np.uint8)
+    mixed = rng.integers(0, 5, 2000).astype(np.uint8)
+    mixed[rng.random(2000) < 0.7] = 0
+    return [
+        mixed,
+        np.concatenate([z, np.array([3, 4], np.uint8), z]),  # long runs
+        rng.integers(1, 255, 500).astype(np.uint8),  # no zeros at all
+        np.concatenate([np.array([9], np.uint8), np.zeros(1499, np.uint8)]),
+        rng.integers(0, 2, 3000).astype(np.uint8),  # RUNA/RUNB heavy
+    ]
+
+
+@pytest.mark.parametrize("place", ["sort", "scatter"])
+def test_gap_decode_rle0_flat_matches_inputs(rng, place):
+    """Fused decode+RLE0⁻¹ reproduces the original MTF codes for a ragged
+    batch, under both literal-placement strategies."""
+    from bmh_tpu.utils import config as config_mod
+
+    blocks = _mtf_code_cases(rng)
+    nmax = 4096
+    old = config_mod.DEFAULT.decode_place
+    try:
+        config_mod.DEFAULT.decode_place = place
+        out = fused_rle0_decode(blocks, chunk_bits=256, nmax=nmax)
+    finally:
+        config_mod.DEFAULT.decode_place = old
+    assert out.shape[0] >= len(blocks)
+    for i, codes in enumerate(blocks):
+        np.testing.assert_array_equal(out[i, :codes.size], codes)
+        assert (out[i, codes.size:] == 0).all()

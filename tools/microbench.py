@@ -191,6 +191,96 @@ def main():
             jnp.arange(x.shape[0], dtype=jnp.int32)[:, None], i].set(x)),
         big, idx)
 
+    # --- counting/radix rank-sort round (VERDICT r3 item 4) -----------------
+    # A Manber-Myers round as a stable counting sort: ranks are dense in
+    # [0, n), so a round is two 9-bit digit passes (17-bit keys at 128 KiB
+    # blocks), each needing (a) stable within-digit ranks and (b) a 4M
+    # permutation scatter into HBM.  (b) alone [scatter_4M_random above]
+    # lower-bounds ANY radix/counting formulation — Pallas tiles can build
+    # the histograms in VMEM but the final data-dependent permutation write
+    # still goes through the same HBM scatter path Mosaic cannot vectorize.
+    # One full 9-bit pass (XLA onehot-cumsum ranks + scatter) is timed for
+    # the record; compare 2x this (and 2x scatter_4M_random as the floor)
+    # against sort3_2key_stable + sort2_1key_stable (the current round pair).
+    def radix9_pass(keys, vals):
+        d = (keys & jnp.uint32(511)).astype(jnp.int32)
+        b_iota = jnp.arange(512, dtype=jnp.int32)
+        onehot = d[None, :] == b_iota[:, None]
+        counts = jnp.sum(onehot, axis=1)
+        starts = jnp.cumsum(counts) - counts
+        within = jnp.cumsum(onehot.astype(jnp.int32), axis=1) - onehot
+        myrank = jnp.sum(jnp.where(onehot, within, 0), axis=0)
+        dest = starts[d] + myrank
+        ok = jnp.zeros_like(keys).at[dest].set(keys, mode="drop",
+                                               unique_indices=True)
+        ov = jnp.zeros_like(vals).at[dest].set(vals, mode="drop",
+                                               unique_indices=True)
+        return ok, ov
+
+    res["radix9_one_pass"] = timeit(jax.jit(jax.vmap(radix9_pass)), big, idx,
+                                    label="radix9_one_pass")
+
+    # --- decode gap-map composition: gather vs compare-select ---------------
+    NC = 16384
+    maps_np = rng.integers(0, 32, (NC, 32)).astype(np.int32)
+    flags_np = (rng.random(NC) < 0.002).astype(np.int32)
+    a_maps, a_flags = jnp.asarray(maps_np), jnp.asarray(flags_np)
+
+    def compose_gather(maps, flags):
+        def combine(a, b):
+            ma, fa = a
+            mb, fb = b
+            comp = jnp.take_along_axis(mb, ma, axis=-1)
+            return jnp.where(fb[:, None] > 0, mb, comp), fa | fb
+
+        return jax.lax.associative_scan(combine, (maps, flags), axis=0)[0]
+
+    def compose_select(maps, flags):
+        g_iota = jnp.arange(32, dtype=jnp.int32)
+
+        def combine(a, b):
+            ma, fa = a
+            mb, fb = b
+            comp = jnp.sum(jnp.where(ma[:, :, None] == g_iota[None, None, :],
+                                     mb[:, None, :], 0), axis=-1)
+            return jnp.where(fb[:, None] > 0, mb, comp), fa | fb
+
+        return jax.lax.associative_scan(combine, (maps, flags), axis=0)[0]
+
+    res["compose_16K_gather"] = timeit(jax.jit(compose_gather), a_maps,
+                                       a_flags, label="compose_16K_gather")
+    res["compose_16K_select"] = timeit(jax.jit(compose_select), a_maps,
+                                       a_flags, label="compose_16K_select")
+
+    # --- decode literal placement: ragged scatter vs packed sort + sorted
+    # scatter (ops/huffman.gap_decode_rle0_flat's two strategies) ------------
+    steps_nc = 8718336 // 4  # ~2.2M literal lanes per corpus pass
+    cap = B * nmax
+    tgt = np.sort(rng.choice(cap, steps_nc, replace=False)).astype(np.int32)
+    lanes = rng.permutation(np.concatenate([
+        (tgt.astype(np.uint32) << 9) | 7,
+        np.full(2 * steps_nc, 0xFFFFFFFF, np.uint32)]))
+    a_lanes = jnp.asarray(lanes)
+
+    def place_sort(k):
+        srt = jax.lax.sort(k)[:cap]
+        t2 = (srt >> 9).astype(jnp.int32)
+        out = jnp.zeros(cap + 1, jnp.int32)
+        return out.at[t2].set((srt & jnp.uint32(511)).astype(jnp.int32),
+                              mode="drop", indices_are_sorted=True)
+
+    def place_scatter(k):
+        t2 = jnp.where(k == jnp.uint32(0xFFFFFFFF), jnp.int32(cap + 1),
+                       (k >> 9).astype(jnp.int32))
+        out = jnp.zeros(cap + 1, jnp.int32)
+        return out.at[t2].set((k & jnp.uint32(511)).astype(jnp.int32),
+                              mode="drop")
+
+    res["place_sort_sorted_scatter"] = timeit(
+        jax.jit(place_sort), a_lanes, label="place_sort_sorted_scatter")
+    res["place_ragged_scatter"] = timeit(
+        jax.jit(place_scatter), a_lanes, label="place_ragged_scatter")
+
     print(json.dumps(res, indent=1))
 
 
