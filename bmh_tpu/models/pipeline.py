@@ -448,6 +448,69 @@ def _decode_flat(nc: int, nmax: int, batch: int, chunk_bits: int, maxl: int,
     return f, kcp
 
 
+def _drain_compress(entry, results, annotate):
+    """Pull one pending compress dispatch's outputs and assemble per-block
+    result dicts.  Only the compacted payload words cross the tunnel."""
+    idxs, ns, out, ndev = entry
+    with annotate("compress_assemble"):
+        flat, nw, total_words, total_bits, lens, freqs, ms, shifts, \
+            cps, aper = out
+        bits_np = np.asarray(total_bits)
+        nw_np = np.asarray(nw)
+        if ndev > 1:
+            # block-sharded layout: device d's compacted words occupy
+            # flat[d*b_loc*W : d*b_loc*W + total_words[d]]; pull exactly
+            # those regions and rebase per-row offsets onto their
+            # concatenation
+            b_pad_out = nw_np.size
+            b_loc = b_pad_out // ndev
+            w_cap = flat.shape[0] // b_pad_out
+            tw = np.asarray(total_words)  # (ndev,)
+            flat_np = np.concatenate([
+                np.asarray(flat[d * b_loc * w_cap:
+                                d * b_loc * w_cap + int(tw[d])])
+                for d in range(ndev)]).astype(">u4")
+            nw2 = nw_np.reshape(ndev, b_loc)
+            base = np.concatenate([[0], np.cumsum(tw)[:-1]])
+            woffs_np = (np.cumsum(nw2, axis=1) - nw2
+                        + base[:, None]).reshape(-1)
+        else:
+            woffs_np = np.cumsum(nw_np) - nw_np
+            flat_np = np.asarray(flat[: int(total_words)]).astype(">u4")
+        lens_np = np.asarray(lens).astype(np.uint8)
+        freqs_np = np.asarray(freqs)
+        shifts_np = np.asarray(shifts)
+        ms_np = np.asarray(ms)
+        cps_np = np.asarray(cps)
+        aper_np = np.asarray(aper)
+
+        for row, i in enumerate(idxs):
+            tb = int(bits_np[row])
+            n = int(ns[row])
+            w0 = int(woffs_np[row])
+            payload = (flat_np[w0: w0 + int(nw_np[row])]
+                       .tobytes()[: (tb + 7) // 8]
+                       if (lens_np[row] > 0).any() else b"")
+            results[i] = {
+                "orig_len": n,
+                "shift": int(shifts_np[row]),
+                "lens": lens_np[row],
+                "freqs": freqs_np[row],
+                "payload": payload,
+                "total_bits": tb,
+                "rle_len": int(ms_np[row]),
+                "cps": cps_np[row, : _n_cps(n)] if aper_np[row] else None,
+            }
+
+
+def _drain_decompress(entry, results):
+    """Pull one pending flat-decode dispatch and slice per-block outputs."""
+    idxs, ns, data = entry
+    data_np = np.asarray(data)
+    for row, i in enumerate(idxs):
+        results[i] = data_np[row, : int(ns[row])]
+
+
 # ---------------------------------------------------------------------------
 # Backend
 # ---------------------------------------------------------------------------
@@ -506,63 +569,21 @@ class JaxBackend:
               else:
                 out = _batched_compress_one_dispatch(nmax, b_pad)(batch_j, ns_j)
             pending.append((idxs, ns, out, ndev))
+            # bound the in-flight dispatch window: with hundreds of batches
+            # (a 1 GiB stream is 256), an unbounded pending list pins every
+            # batch's padded outputs in HBM at once (measured: 1 GiB
+            # decompress degraded 1.5x vs 4x256 MB); draining the oldest
+            # keeps a few batches overlapping host assembly with device work
+            while len(pending) > config_mod.DEFAULT.inflight:
+                _drain_compress(pending.pop(0), results, annotate)
 
-        # Phase 2 — pull results and assemble containers; later chunks keep
-        # executing on the device while earlier ones are packaged here.
-        # Only the first total_words of the compacted word stream cross the
-        # tunnel (~ the compressed size), not the padded (B, W) buffer.
-        for idxs, ns, out, ndev in pending:
-          with annotate("compress_assemble"):
-            flat, nw, total_words, total_bits, lens, freqs, ms, shifts, \
-                cps, aper = out
-            bits_np = np.asarray(total_bits)
-            nw_np = np.asarray(nw)
-            if ndev > 1:
-                # block-sharded layout: device d's compacted words occupy
-                # flat[d*b_loc*W : d*b_loc*W + total_words[d]]; pull exactly
-                # those regions and rebase per-row offsets onto their
-                # concatenation
-                b_pad_out = nw_np.size
-                b_loc = b_pad_out // ndev
-                w_cap = flat.shape[0] // b_pad_out
-                tw = np.asarray(total_words)  # (ndev,)
-                flat_np = np.concatenate([
-                    np.asarray(flat[d * b_loc * w_cap:
-                                    d * b_loc * w_cap + int(tw[d])])
-                    for d in range(ndev)]).astype(">u4")
-                nw2 = nw_np.reshape(ndev, b_loc)
-                base = np.concatenate([[0], np.cumsum(tw)[:-1]])
-                woffs_np = (np.cumsum(nw2, axis=1) - nw2
-                            + base[:, None]).reshape(-1)
-            else:
-                woffs_np = np.cumsum(nw_np) - nw_np
-                flat_np = np.asarray(flat[: int(total_words)]).astype(">u4")
-            lens_np = np.asarray(lens).astype(np.uint8)
-            freqs_np = np.asarray(freqs)
-            shifts_np = np.asarray(shifts)
-            ms_np = np.asarray(ms)
-            cps_np = np.asarray(cps)
-            aper_np = np.asarray(aper)
-
-            for row, i in enumerate(idxs):
-                tb = int(bits_np[row])
-                n = int(ns[row])
-                w0 = int(woffs_np[row])
-                payload = (flat_np[w0: w0 + int(nw_np[row])]
-                           .tobytes()[: (tb + 7) // 8]
-                           if (lens_np[row] > 0).any() else b"")
-                results[i] = {
-                    "orig_len": n,
-                    "shift": int(shifts_np[row]),
-                    "lens": lens_np[row],
-                    "freqs": freqs_np[row],
-                    "payload": payload,
-                    "total_bits": tb,
-                    "rle_len": int(ms_np[row]),
-                    "cps": cps_np[row, : _n_cps(n)] if aper_np[row] else None,
-                }
+        # Phase 2 — pull the remaining results; later chunks keep executing
+        # on the device while earlier ones are packaged here.  Only the
+        # first total_words of the compacted word stream cross the tunnel
+        # (~ the compressed size), not the padded (B, W) buffer.
+        for entry in pending:
+            _drain_compress(entry, results, annotate)
         return results  # type: ignore[return-value]
-
     def decompress_blocks(self, blocks: list[dict],
                           bucket: int | None = None,
                           chunk_bucket: int | None = None) -> list[np.ndarray]:
@@ -609,7 +630,9 @@ class JaxBackend:
         if cap > 0:
             devs = devs[:cap]
 
-        pending = []  # dispatch all flat-decode chunks, then pull (async)
+        pending = []  # dispatched flat-decode chunks awaiting their pull
+        drained = [0]
+        n_dispatched = 0
         for (nmax, stride_g), f_idxs in fgroups.items():
           for idxs in _chunks(f_idxs):
             b_real = len(idxs)
@@ -666,12 +689,16 @@ class JaxBackend:
                       put(seg_start), put(seg_start_idx), put(seg_id),
                       put(ms), put(ns), put(shifts), put(cps))
             pending.append((idxs, ns, data))
-        LAST_DISPATCH["decompress_ndev"] = max(1, min(len(devs), len(pending)))
+            n_dispatched = len(pending) + drained[0]
+            # bound in-flight outputs (see compress_blocks): keep at least
+            # one dispatch per device in flight so round-robin still overlaps
+            while len(pending) > max(config_mod.DEFAULT.inflight, len(devs)):
+                _drain_decompress(pending.pop(0), results)
+                drained[0] += 1
+        LAST_DISPATCH["decompress_ndev"] = max(1, min(len(devs), n_dispatched))
 
-        for idxs, ns, data in pending:
-            data_np = np.asarray(data)
-            for row, i in enumerate(idxs):
-                results[i] = data_np[row, : int(ns[row])]
+        for entry in pending:
+            _drain_decompress(entry, results)
 
         # periodic blocks (rare, degenerate): exact sequential oracle
         for nmax, idxs in pgroups.items():

@@ -63,6 +63,11 @@ class CodecConfig:
     # production multi-device dispatch: 0 = auto (shard every batch over all
     # local devices via shard_map), 1 = single-device, N = cap at N devices
     devices: int = field(default_factory=lambda: _env_int("BMH_DEVICES", 0))
+    # bound on in-flight device dispatches per direction: a 1 GiB stream is
+    # 256 batches, and an unbounded pending list pins every batch's padded
+    # outputs in HBM at once (measured 1.5x decompress degradation); a few
+    # batches suffice to overlap host assembly with device work
+    inflight: int = field(default_factory=lambda: _env_int("BMH_INFLIGHT", 4))
     # literal placement in the fused decode (ops/huffman.gap_decode_rle0_flat):
     # "sort" = packed single-array sort + indices-sorted scatter (default;
     # falls back to scatter when the packed key exceeds 32 bits),
@@ -91,6 +96,8 @@ class CodecConfig:
             raise ValueError("devices must be >= 0 (0 = all local devices)")
         if self.decode_place not in ("sort", "scatter"):
             raise ValueError("decode_place must be 'sort' or 'scatter'")
+        if self.inflight < 1:
+            raise ValueError("inflight must be >= 1")
         return self
 
     def describe(self) -> str:

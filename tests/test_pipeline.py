@@ -59,3 +59,20 @@ def test_calgary_acceptance(name):
     assert decompress_bytes(blob, backend="jax") == data
     assert len(blob) <= corpus.REFERENCE_SIZES[name], (
         f"{name}: {len(blob)} > reference {corpus.REFERENCE_SIZES[name]}")
+
+
+def test_bounded_inflight_drain(rng):
+    """Streams spanning many dispatches drain the pending window early
+    (BMH_INFLIGHT) and still round-trip bit-exact."""
+    from bmh_tpu import api
+    from bmh_tpu.utils import config as config_mod
+
+    data = bytes(rng.integers(0, 180, 70 * 512).astype(np.uint8))
+    old = config_mod.DEFAULT.inflight
+    try:
+        config_mod.DEFAULT.inflight = 1
+        # 70 blocks of 512 B -> >2 dispatches at the 32-block cap
+        blob = api.compress_bytes(data, block_size=512)
+        assert api.decompress_bytes(blob) == data
+    finally:
+        config_mod.DEFAULT.inflight = old
