@@ -27,6 +27,12 @@ def _validate_block_size(block_size: int) -> None:
             f"block_size {block_size} out of range [1, {MAX_BLOCK_SIZE}]")
 
 
+def _present(r: dict):
+    """Present-symbol mask of a backend result (JaxBackend packs it in the
+    device meta matrix; the oracle backend derives it from its histogram)."""
+    return r["present"] if "present" in r else r["freqs"] > 0
+
+
 def _codec_stride() -> int:
     """The iBWT cursor stride the encoder's checkpoints were computed with
     (ops.bwt freezes it at import) — recorded in the file header so the
@@ -116,7 +122,7 @@ def compress_bytes(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK_SIZ
     results = get_backend(backend).compress_blocks(blocks)
     packed = []
     for raw_len, r in zip(raw_lens, results):
-        present = r["freqs"] > 0
+        present = _present(r)
         packed.append(
             container.pack_block(raw_len, r["shift"], r["lens"], present,
                                  r["payload"], cps=r.get("cps", ()),
@@ -187,7 +193,7 @@ def compress_many(datas: list[bytes | np.ndarray], block_size: int = DEFAULT_BLO
         packed = []
         for r, raw_len in zip(results[start:start + cnt],
                               flat_raw_lens[start:start + cnt]):
-            present = r["freqs"] > 0
+            present = _present(r)
             packed.append(container.pack_block(raw_len, r["shift"], r["lens"],
                                                present, r["payload"],
                                                cps=r.get("cps", ()),

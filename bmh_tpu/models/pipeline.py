@@ -228,14 +228,45 @@ def _flatten_payloads(words, bits):
     nw = (bits + 31) // 32                      # (B,) words per block
     woffs = jnp.cumsum(nw) - nw                 # exclusive
     total_words = jnp.sum(nw)
-    # row of each flat slot: scatter row ids at row starts (later rows win
-    # ties from empty rows), then a running max
-    marks = jnp.zeros(cap + 1, jnp.int32).at[jnp.clip(woffs, 0, cap)].max(
-        jnp.arange(b, dtype=jnp.int32), mode="drop")
-    row = jax.lax.cummax(marks[:cap])
-    slot = jnp.arange(cap, dtype=jnp.int32) - woffs[row]
-    flat = words[row, jnp.clip(slot, 0, w - 1)]
+    # ragged concat as ONE 2-array sort: each (row, slot)'s flat
+    # destination is elementwise (woffs[row] + slot, or cap for padding),
+    # and sorting (dest, word) compacts valid words to the front in order
+    # — the marks/cummax/2-D-gather formulation this replaces cost
+    # ~14 ms/pass in the 1.3M-element row gather (TRACE_r04 pipeline:237)
+    slot = jnp.arange(w, dtype=jnp.int32)[None, :]
+    dest = jnp.where(slot < nw[:, None], woffs[:, None] + slot, cap)
+    _, flat = jax.lax.sort((dest.reshape(-1), words.reshape(-1)), num_keys=1)
     return flat, nw.astype(jnp.int32), total_words.astype(jnp.int32)
+
+
+# meta matrix layout (one int32 row per block — ONE tunnel pull carries
+# every per-block field; each np.asarray round trip costs ~23 ms of tunnel
+# latency, and the split outputs cost ~10 of them per batch):
+#   col 0 bits | 1 nw | 2 shift | 3 rle_len | 4 aperiodic |
+#   5..13  present bitmap (257 bits in 9 words, little-endian bits) |
+#   14..78 code lengths (257 x 8-bit, 4 per word, little-endian bytes) |
+#   79..   iBWT cursor checkpoints (nmax-dependent count)
+_META_FIXED = 79
+
+
+def meta_cols(nmax: int) -> int:
+    return _META_FIXED + max(nmax // ops_bwt.CURSOR_STRIDE, 1)
+
+
+def _pack_meta(bits, nw, shifts, ms, aper, lens, freqs, cps):
+    """Per-block metadata -> (B, meta_cols) int32, built on device."""
+    b = bits.shape[0]
+    present = (freqs > 0).astype(jnp.int32)          # (B, 257)
+    present = jnp.pad(present, ((0, 0), (0, 288 - present.shape[1])))
+    pw = jnp.sum(present.reshape(b, 9, 32)
+                 << jnp.arange(32, dtype=jnp.int32)[None, None, :], axis=-1)
+    lens8 = jnp.pad(lens.astype(jnp.int32), ((0, 0), (0, 260 - lens.shape[1])))
+    lw = jnp.sum(lens8.reshape(b, 65, 4)
+                 << (8 * jnp.arange(4, dtype=jnp.int32))[None, None, :], axis=-1)
+    head = jnp.stack([bits.astype(jnp.int32), nw.astype(jnp.int32),
+                      shifts.astype(jnp.int32), ms.astype(jnp.int32),
+                      aper.astype(jnp.int32)], axis=1)
+    return jnp.concatenate([head, pw, lw, cps.astype(jnp.int32)], axis=1)
 
 
 def _compress_core(data, ns, b: int, nmax: int, hard: bool):
@@ -246,12 +277,15 @@ def _compress_core(data, ns, b: int, nmax: int, hard: bool):
     a device-side `lax.cond` on the batch-total tied count picks sparse
     refinement or classic resume (scalar predicate — one branch executes),
     then the fused finish/encode/flatten tail.  No host decision points.
+
+    Returns (flat (B*W,) uint32 compacted payload words, meta (B, meta_cols)
+    int32 — see _pack_meta).
     """
     if hard:
         words, bits, lens, freqs, ms, shifts, cps, aper = jax.vmap(
             compress_full_fn)(data, ns)
-        flat, nw, total_words = _flatten_payloads(words, bits)
-        return flat, nw, total_words, bits, lens, freqs, ms, shifts, cps, aper
+        flat, nw, _ = _flatten_payloads(words, bits)
+        return flat, _pack_meta(bits, nw, shifts, ms, aper, lens, freqs, cps)
 
     m_cap = _sparse_cap(b, nmax)
     rank, tied, h, done, cnt = jax.vmap(
@@ -278,8 +312,8 @@ def _compress_core(data, ns, b: int, nmax: int, hard: bool):
                         (rank, tied, ns))
     words, bits, lens, freqs, ms, shifts, cps, aper = jax.vmap(
         compress_finish_full_fn)(data, ns, rank)
-    flat, nw, total_words = _flatten_payloads(words, bits)
-    return flat, nw, total_words, bits, lens, freqs, ms, shifts, cps, aper
+    flat, nw, _ = _flatten_payloads(words, bits)
+    return flat, _pack_meta(bits, nw, shifts, ms, aper, lens, freqs, cps)
 
 
 @functools.lru_cache(maxsize=128)
@@ -299,10 +333,11 @@ def _batched_finish_full(nmax: int, batch: int):
 
 
 def _sparse_cap(b_pad: int, nmax: int) -> int:
-    """Static compact-set capacity: 1/16 of the batch (text leaves ~5%
-    tied after 4 full rounds), with a floor for tiny batches (clamped to
-    the batch itself)."""
-    return min(max((b_pad * nmax) // 16, _SPARSE_MIN), b_pad * nmax)
+    """Static compact-set capacity: (batch/sparse_cap_div) of the batch
+    (text leaves ~4.5% tied after 4 full rounds at the corpus shape), with
+    a floor for tiny batches (clamped to the batch itself)."""
+    div = config_mod.DEFAULT.sparse_cap_div
+    return min(max((b_pad * nmax) // div, _SPARSE_MIN), b_pad * nmax)
 
 
 def _sparse_ranks(batch_j, ns_j, ns_np):
@@ -383,14 +418,11 @@ def _sharded_compress(nmax: int, batch: int, ndev: int, hard: bool):
     b_loc = batch // ndev
 
     def local(data, ns):
-        flat, nw, total_words, bits, lens, freqs, ms, shifts, cps, aper = \
-            _compress_core(data, ns, b_loc, nmax, hard)
-        return (flat, nw, total_words.reshape(1), bits, lens, freqs, ms,
-                shifts, cps, aper)
+        return _compress_core(data, ns, b_loc, nmax, hard)
 
     sharded = shard_map(local, mesh=mesh,
                         in_specs=(P(mesh_mod.BLOCK_AXIS), P(mesh_mod.BLOCK_AXIS)),
-                        out_specs=tuple(P(mesh_mod.BLOCK_AXIS) for _ in range(10)),
+                        out_specs=(P(mesh_mod.BLOCK_AXIS), P(mesh_mod.BLOCK_AXIS)),
                         check_vma=False)
     return jax.jit(sharded)
 
@@ -450,39 +482,47 @@ def _decode_flat(nc: int, nmax: int, batch: int, chunk_bits: int, maxl: int,
 
 def _drain_compress(entry, results, annotate):
     """Pull one pending compress dispatch's outputs and assemble per-block
-    result dicts.  Only the compacted payload words cross the tunnel."""
+    result dicts.
+
+    TWO tunnel round trips per batch: the (B, meta_cols) int32 meta matrix
+    (every per-block field — see _pack_meta) and the compacted payload
+    words (~ the compressed size).  The previous ten split pulls cost
+    ~23 ms of tunnel latency EACH (TRACE_r04: 230 ms/pass of pure pull
+    latency on a 289 ms-device compress)."""
     idxs, ns, out, ndev = entry
     with annotate("compress_assemble"):
-        flat, nw, total_words, total_bits, lens, freqs, ms, shifts, \
-            cps, aper = out
-        bits_np = np.asarray(total_bits)
-        nw_np = np.asarray(nw)
+        flat, meta = out
+        meta_np = np.asarray(meta)  # pull 1
+        bits_np = meta_np[:, 0]
+        nw_np = meta_np[:, 1]
+        shifts_np = meta_np[:, 2]
+        ms_np = meta_np[:, 3]
+        aper_np = meta_np[:, 4]
+        present_np = ((meta_np[:, 5:14, None] >> np.arange(32)) & 1) \
+            .reshape(meta_np.shape[0], 288)[:, :257].astype(bool)
+        lens_np = ((meta_np[:, 14:79, None] >> (8 * np.arange(4))) & 0xFF) \
+            .reshape(meta_np.shape[0], 260)[:, :257].astype(np.uint8)
+        cps_np = meta_np[:, _META_FIXED:]
         if ndev > 1:
             # block-sharded layout: device d's compacted words occupy
-            # flat[d*b_loc*W : d*b_loc*W + total_words[d]]; pull exactly
+            # flat[d*b_loc*W : d*b_loc*W + its own total]; pull exactly
             # those regions and rebase per-row offsets onto their
             # concatenation
             b_pad_out = nw_np.size
             b_loc = b_pad_out // ndev
             w_cap = flat.shape[0] // b_pad_out
-            tw = np.asarray(total_words)  # (ndev,)
+            nw2 = nw_np.reshape(ndev, b_loc)
+            tw = nw2.sum(axis=1)
             flat_np = np.concatenate([
                 np.asarray(flat[d * b_loc * w_cap:
                                 d * b_loc * w_cap + int(tw[d])])
                 for d in range(ndev)]).astype(">u4")
-            nw2 = nw_np.reshape(ndev, b_loc)
             base = np.concatenate([[0], np.cumsum(tw)[:-1]])
             woffs_np = (np.cumsum(nw2, axis=1) - nw2
                         + base[:, None]).reshape(-1)
         else:
             woffs_np = np.cumsum(nw_np) - nw_np
-            flat_np = np.asarray(flat[: int(total_words)]).astype(">u4")
-        lens_np = np.asarray(lens).astype(np.uint8)
-        freqs_np = np.asarray(freqs)
-        shifts_np = np.asarray(shifts)
-        ms_np = np.asarray(ms)
-        cps_np = np.asarray(cps)
-        aper_np = np.asarray(aper)
+            flat_np = np.asarray(flat[: int(nw_np.sum())]).astype(">u4")  # pull 2
 
         for row, i in enumerate(idxs):
             tb = int(bits_np[row])
@@ -495,7 +535,7 @@ def _drain_compress(entry, results, annotate):
                 "orig_len": n,
                 "shift": int(shifts_np[row]),
                 "lens": lens_np[row],
-                "freqs": freqs_np[row],
+                "present": present_np[row],
                 "payload": payload,
                 "total_bits": tb,
                 "rle_len": int(ms_np[row]),

@@ -207,14 +207,16 @@ def sparse_refine(rank: jax.Array, blk: jax.Array, pos: jax.Array,
 
     # Ranks stay COMPACT through the loop: resolved positions' ranks never
     # change, so the full (B*Nmax) plane is read-only inside the loop and
-    # a compact-index plane routes rank[p2] reads to either the static
-    # plane or the live compact array — the loop then costs O(M) per
-    # iteration with no full-plane scatter writeback (traced ~5 ms/iter).
+    # a COMBINED routing plane — the rank itself for resolved positions,
+    # the compact index with bit 30 set for tied ones (ranks < 2^23) —
+    # serves rank[p2] reads with ONE M-gather per iteration instead of a
+    # compact-index gather plus a rank-plane gather (each ~4.3 ms/iter at
+    # M=256K, TRACE_r04 fusion.379).
     rank_flat = rank.reshape(-1)
     safe_pos = jnp.where(valid, flat_pos, 0)
-    cidx_plane = jnp.full(b * nmax + 1, -1, dtype=jnp.int32)
-    cidx_plane = cidx_plane.at[jnp.where(valid, flat_pos, b * nmax)].set(
-        midx, mode="drop")
+    comb = jnp.concatenate([rank_flat, jnp.zeros(1, jnp.int32)])
+    comb = comb.at[jnp.where(valid, flat_pos, b * nmax)].set(
+        jnp.int32(1 << 30) | midx, mode="drop")[: b * nmax]
     rc0 = rank_flat[safe_pos]  # compact working ranks
 
     def body(state):
@@ -222,8 +224,10 @@ def sparse_refine(rank: jax.Array, blk: jax.Array, pos: jax.Array,
         p2 = pos + hm
         p2 = jnp.where(p2 >= nb, p2 - nb, p2)
         f2 = jnp.clip(blk, 0, b - 1) * nmax + p2
-        t2 = cidx_plane[f2]
-        r2 = jnp.where(t2 >= 0, rc[jnp.clip(t2, 0, m - 1)], rank_flat[f2])
+        g2 = comb[f2]
+        r2 = jnp.where(g2 >= jnp.int32(1 << 30),
+                       rc[jnp.clip(g2 & jnp.int32((1 << 30) - 1), 0, m - 1)],
+                       g2)
         k1 = jnp.where(valid, blk * nmax + rc, pad_key)
         k2 = jnp.where(valid, r2, 0)
         sk1, sk2, sidx = _stable_sort3(k1, k2, midx)

@@ -326,29 +326,33 @@ def encode_bitpack(data: jax.Array, n: jax.Array, len_tbl: jax.Array,
     hi = jnp.where(ln > 0, jnp.where(straddles, hi2, hi1), jnp.uint32(0))
     lo = jnp.where(ln > 0, jnp.where(straddles, lo2, jnp.uint32(0)), jnp.uint32(0))
 
-    # Per-word reduction WITHOUT scatter-adds (2x ~37 ms traced): bits of
-    # distinct symbols never overlap within a word, so sum == OR and a
-    # wraparound uint32 prefix sum P turns each word's total into a
-    # difference of two prefix samples P[c[w+1]] - P[c[w]], where
-    # c[k] = #symbols with offs < 32k.  c comes from merging the (sorted)
-    # offsets with the uniform word boundaries: ONE packed single-array
-    # sort (value<<1 | is_symbol — boundaries first on ties = strict <),
-    # then a second packed sort compacts the boundary positions.
-    merged = jax.lax.sort(jnp.concatenate([
+    # Per-word reduction WITHOUT scatter-adds: bits of distinct symbols
+    # never overlap within a word, so sum == OR and a wraparound uint32
+    # prefix sum turns each word's total into a difference of two prefix
+    # samples at consecutive word boundaries.  The boundary samples ride
+    # the sorts as payloads: merge the (sorted) symbol offsets with the
+    # uniform word boundaries carrying (hi, lo), cumsum the merged
+    # payloads (every boundary slot then holds its prefix sample
+    # directly), and compact the boundary slots with a second sort —
+    # no 1.3M-element p[c[k]] gathers (TRACE_r04: 2 x 26 ms/pass).
+    # Key ties occur only among pad symbols (ln == 0 -> equal offs and
+    # zero payloads), so stability is irrelevant.
+    key = jnp.concatenate([
         (offs << 1) | 1,
         (32 * jnp.arange(w_out + 1, dtype=jnp.int32)) << 1,
-    ]))
+    ])
+    zpad = jnp.zeros(w_out + 1, jnp.uint32)
+    merged, hi_s, lo_s = jax.lax.sort(
+        (key, jnp.concatenate([hi, zpad]), jnp.concatenate([lo, zpad])),
+        num_keys=1)
+    ph = jnp.cumsum(hi_s)  # at a boundary slot: sum of hi with offs < 32k
+    pl = jnp.cumsum(lo_s)
     is_b = (merged & 1) == 0
     k_rank = jnp.cumsum(is_b.astype(jnp.int32)) - is_b  # boundary index k
-    pos_m = jnp.arange(merged.shape[0], dtype=jnp.int32)
-    cval = pos_m - k_rank                               # = c[k] at boundaries
-    _, c = jax.lax.sort(
-        (jnp.where(is_b, k_rank, jnp.int32(1) << 30), cval), num_keys=1)
-    c = c[: w_out + 1]
-    p_hi = jnp.concatenate([jnp.zeros(1, jnp.uint32), jnp.cumsum(hi)])
-    p_lo = jnp.concatenate([jnp.zeros(1, jnp.uint32), jnp.cumsum(lo)])
-    seg_hi = p_hi[c[1:]] - p_hi[c[:-1]]             # sum of hi with word == w
-    lo_by_word = p_lo[c[1:]] - p_lo[c[:-1]]         # sum of lo with word == w
+    _, s_hi, s_lo = jax.lax.sort(
+        (jnp.where(is_b, k_rank, jnp.int32(1) << 30), ph, pl), num_keys=1)
+    seg_hi = s_hi[1: w_out + 1] - s_hi[: w_out]     # sum of hi with word == w
+    lo_by_word = s_lo[1: w_out + 1] - s_lo[: w_out]  # sum of lo with word == w
     seg_lo = jnp.concatenate([jnp.zeros(1, jnp.uint32), lo_by_word[:-1]])
     return (seg_hi + seg_lo).astype(jnp.uint32), total_bits
 

@@ -168,9 +168,15 @@ def mtf_inverse(codes: jax.Array, n: jax.Array, chunk: int = DEFAULT_CHUNK) -> j
 
     # exclusive prefix composition of whole-chunk permutations:
     # incoming_list[k] = pi_0 ∘ pi_1 ∘ ... ∘ pi_{k-1} applied to identity
+    p_comp = jnp.arange(ALPHABET, dtype=jnp.int32)
+
     def compose(a, b):
-        # (a then b) as functions on positions: result[p] = a[b[p]]
-        return jnp.take_along_axis(a, b, axis=-1)
+        # (a then b) as functions on positions: result[p] = a[b[p]], as a
+        # compare-select over the 256 alphabet — take_along_axis lowers to
+        # ~1M random gathers per scan level (TRACE_r04 mtf.py: 21 ms/pass)
+        # while the masked sum fuses into VPU work
+        return jnp.sum(jnp.where(b[..., :, None] == p_comp, a[..., None, :], 0),
+                       axis=-1)
 
     if k > 1:
         prefixes = jax.lax.associative_scan(compose, pi_full, axis=0)

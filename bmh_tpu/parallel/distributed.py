@@ -107,7 +107,8 @@ def compress_stream(data: bytes | np.ndarray, block_size: int, backend) -> bytes
 
     local_packed: dict[int, bytes] = {}
     for (i, _), r, raw_len in zip(mine, results, raw_lens):
-        present = r["freqs"] > 0
+        from ..api import _present
+        present = _present(r)
         local_packed[i] = container.pack_block(raw_len, r["shift"], r["lens"],
                                                present, r["payload"],
                                                cps=r.get("cps", ()),

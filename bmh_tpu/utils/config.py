@@ -46,6 +46,11 @@ class CodecConfig:
     # the remaining tied positions (ops/bwt.py sparse_refine); measured on
     # Calgary, text leaves ~1-5% of positions tied after 4 rounds
     full_rounds: int = field(default_factory=lambda: _env_int("BMH_FULL_ROUNDS", 4))
+    # sparse compact-set capacity = (batch * nmax) / sparse_cap_div; the
+    # refinement loop's per-iteration cost is CAP-sized (static shapes), so
+    # a deeper full_rounds pairs with a larger divisor (measured corpus
+    # tied fraction: 4.5% after 4 rounds)
+    sparse_cap_div: int = field(default_factory=lambda: _env_int("BMH_SPARSE_CAP_DIV", 16))
     # inverse-MTF: VMEM-resident Pallas in-chunk kernel (TPU) + its chunk
     # size (the XLA scan path keeps mtf_chunk)
     pallas_imtf: bool = field(default_factory=lambda: _env_bool("BMH_PALLAS_IMTF", True))
@@ -98,6 +103,8 @@ class CodecConfig:
             raise ValueError("decode_place must be 'sort' or 'scatter'")
         if self.inflight < 1:
             raise ValueError("inflight must be >= 1")
+        if self.sparse_cap_div < 1:
+            raise ValueError("sparse_cap_div must be >= 1")
         return self
 
     def describe(self) -> str:

@@ -129,7 +129,8 @@ def compress_file_resumable(in_path: str, out_path: str,
     for blk in todo:  # one block per append: each is a durable checkpoint
         (pre,), (raw_len,) = _rle1_blocks([blk])
         r = be.compress_blocks([pre])[0]
-        present = r["freqs"] > 0
+        from ..api import _present
+        present = _present(r)
         sc.append(container.pack_block(raw_len, r["shift"], r["lens"],
                                        present, r["payload"], cps=r.get("cps", ()),
                                        rle_len=r["rle_len"],
