@@ -54,12 +54,15 @@ def _n_cps(n: int) -> int:
 # Device dispatches are capped at this many blocks: one (32, 128K) stage-1
 # batch already saturates the chip, larger batches only grow the working set
 # (a 256 MB stream would otherwise be one 2048-block dispatch and OOM), and
-# the cap keeps the set of compiled batch shapes small.
-MAX_DISPATCH_BLOCKS = 32
+# the cap keeps the set of compiled batch shapes small.  BMH_MAX_DISPATCH
+# overrides (smaller caps split a pass into several dispatches so transfers
+# of one batch overlap device compute of the next).
+MAX_DISPATCH_BLOCKS = config_mod.DEFAULT.max_dispatch
 
 
-def _chunks(seq: list, size: int = MAX_DISPATCH_BLOCKS):
+def _chunks(seq: list, size: int | None = None):
     """Split a group's index list into dispatch-sized chunks."""
+    size = size or MAX_DISPATCH_BLOCKS
     return [seq[i:i + size] for i in range(0, len(seq), size)]
 
 # Prefix doubling exits when every block's ranks are distinct, so one
@@ -180,7 +183,7 @@ def _sparse_refine_compact(rank, tied, ns, b: int, nmax: int, m_cap: int):
         # (traced 37 ms vs ~7 ms for the sort)
         pidx = jnp.arange(b * nmax, dtype=jnp.uint32)
         key = jnp.where(flat, pidx, pidx | jnp.uint32(1 << 23))
-        srt = jax.lax.sort(key)[:m_cap]
+        srt = jax.lax.sort(key, is_stable=False)[:m_cap]  # keys distinct
         idx = jnp.where((srt >> 23) == 0, srt & jnp.uint32((1 << 23) - 1),
                         jnp.uint32(b * nmax)).astype(jnp.int32)
     else:
@@ -235,7 +238,8 @@ def _flatten_payloads(words, bits):
     # ~14 ms/pass in the 1.3M-element row gather (TRACE_r04 pipeline:237)
     slot = jnp.arange(w, dtype=jnp.int32)[None, :]
     dest = jnp.where(slot < nw[:, None], woffs[:, None] + slot, cap)
-    _, flat = jax.lax.sort((dest.reshape(-1), words.reshape(-1)), num_keys=1)
+    _, flat = jax.lax.sort((dest.reshape(-1), words.reshape(-1)), num_keys=1,
+                           is_stable=False)  # valid dests unique; pads sliced
     return flat, nw.astype(jnp.int32), total_words.astype(jnp.int32)
 
 

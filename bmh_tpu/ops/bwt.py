@@ -46,8 +46,13 @@ def _use_pallas_sort(n: int) -> bool:
     return on_tpu and n <= _PALLAS_SORT_MAX and (n & (n - 1)) == 0 and n >= 1024
 
 
-def _stable_sort3(key1, key2, payload):
-    """Stable lexicographic sort by (key1, key2); returns permuted payload + keys.
+def _stable_sort3(key1, key2, payload, stable: bool = True):
+    """Lexicographic sort by (key1, key2); returns permuted payload + keys.
+
+    stable=False is sound wherever downstream logic is invariant to the
+    within-tie-group order (head-index rank rounds, sparse refinement) —
+    XLA's unstable lowering measured ~2x faster at production shapes
+    (tools/microbench.py sort2_1key_{un,}stable).
 
     On TPU with VMEM-sized blocks this runs the Pallas bitonic network
     (pallas_sort.sort3); payload must then be a permutation, which holds for
@@ -57,7 +62,8 @@ def _stable_sort3(key1, key2, payload):
         from . import pallas_sort
 
         return pallas_sort.sort3(key1, key2, payload, interpret=False)
-    k1, k2, p = jax.lax.sort((key1, key2, payload), num_keys=2, is_stable=True)
+    k1, k2, p = jax.lax.sort((key1, key2, payload), num_keys=2,
+                             is_stable=stable)
     return k1, k2, p
 
 
@@ -111,7 +117,9 @@ def _round_body(state, n, nmax):
     hi = jnp.roll(rank, n - h_mod)         # rank[i + h - n]    (i >= n - h)
     rank2 = jnp.where(pos < n - h_mod, lo, hi)
     rank2 = jnp.where(real, rank2, INT32_BIG)
-    k1, k2, order = _stable_sort3(rank, rank2, pos)
+    # head-index ranks and the tied mask depend only on key equality, never
+    # on the within-tie-group payload order -> unstable sort is sound
+    k1, k2, order = _stable_sort3(rank, rank2, pos, stable=False)
     changed = jnp.concatenate([
         jnp.zeros(1, dtype=jnp.bool_),
         (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1]),
@@ -128,7 +136,7 @@ def _round_body(state, n, nmax):
     # arrays, not three.
     _, packed = jax.lax.sort(
         (order, (new_rank_sorted << 1) | tied_sorted.astype(jnp.int32)),
-        num_keys=1)
+        num_keys=1, is_stable=False)  # keys are a permutation: no ties
     new_rank = packed >> 1
     tied = packed & 1
     n_distinct = jnp.sum(jnp.where(real, changed, False).astype(jnp.int32))
@@ -230,7 +238,8 @@ def sparse_refine(rank: jax.Array, blk: jax.Array, pos: jax.Array,
                        g2)
         k1 = jnp.where(valid, blk * nmax + rc, pad_key)
         k2 = jnp.where(valid, r2, 0)
-        sk1, sk2, sidx = _stable_sort3(k1, k2, midx)
+        # head1/head12 read only key-equality group boundaries -> unstable
+        sk1, sk2, sidx = _stable_sort3(k1, k2, midx, stable=False)
         ch1 = jnp.concatenate([jnp.zeros(1, jnp.bool_), sk1[1:] != sk1[:-1]])
         ch12 = ch1 | jnp.concatenate([jnp.zeros(1, jnp.bool_), sk2[1:] != sk2[:-1]])
         head1 = jax.lax.cummax(jnp.where(ch1, midx, 0))
@@ -359,7 +368,8 @@ def _lf_map_packed(last: jax.Array, n: jax.Array) -> jax.Array:
     pos = jnp.arange(nmax, dtype=jnp.uint32)
     key = jnp.where(pos < n.astype(jnp.uint32), last.astype(jnp.uint32),
                     jnp.uint32(256))
-    return jax.lax.sort((key << 23) | pos)
+    # keys carry the position in their low bits: all distinct -> unstable
+    return jax.lax.sort((key << 23) | pos, is_stable=False)
 
 
 def _lf_map(last: jax.Array, n: jax.Array) -> jax.Array:

@@ -344,13 +344,14 @@ def encode_bitpack(data: jax.Array, n: jax.Array, len_tbl: jax.Array,
     zpad = jnp.zeros(w_out + 1, jnp.uint32)
     merged, hi_s, lo_s = jax.lax.sort(
         (key, jnp.concatenate([hi, zpad]), jnp.concatenate([lo, zpad])),
-        num_keys=1)
+        num_keys=1, is_stable=False)
     ph = jnp.cumsum(hi_s)  # at a boundary slot: sum of hi with offs < 32k
     pl = jnp.cumsum(lo_s)
     is_b = (merged & 1) == 0
     k_rank = jnp.cumsum(is_b.astype(jnp.int32)) - is_b  # boundary index k
     _, s_hi, s_lo = jax.lax.sort(
-        (jnp.where(is_b, k_rank, jnp.int32(1) << 30), ph, pl), num_keys=1)
+        (jnp.where(is_b, k_rank, jnp.int32(1) << 30), ph, pl), num_keys=1,
+        is_stable=False)  # boundary keys distinct; sentinel region unused
     seg_hi = s_hi[1: w_out + 1] - s_hi[: w_out]     # sum of hi with word == w
     lo_by_word = s_lo[1: w_out + 1] - s_lo[: w_out]  # sum of lo with word == w
     seg_lo = jnp.concatenate([jnp.zeros(1, jnp.uint32), lo_by_word[:-1]])
@@ -543,7 +544,7 @@ def gap_decode_rle0_flat(words: jax.Array, count_t: jax.Array,
         # done here by the cheaper single-array sort
         key = jnp.where(place, (target.astype(jnp.uint32) << 9)
                         | val.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
-        srt = jax.lax.sort(key.reshape(-1))[:flat_cap]
+        srt = jax.lax.sort(key.reshape(-1), is_stable=False)[:flat_cap]
         tgt2 = (srt >> 9).astype(jnp.int32)   # sentinels -> >= flat_cap
         out = out.at[tgt2].set(                # OOB sentinels are dropped
             (srt & jnp.uint32(511)).astype(jnp.int32),

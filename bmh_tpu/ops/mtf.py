@@ -78,7 +78,7 @@ def mtf_forward(data: jax.Array, n: jax.Array, chunk: int = DEFAULT_CHUNK) -> ja
     # scatter this replaces traced at 61 ms for the corpus batch
     sh = max(ext.bit_length(), 1)  # fits position AND prev+1 (both <= ext)
     j_idx = jnp.broadcast_to(jnp.arange(ext, dtype=jnp.int32), (k, ext))
-    ps = jax.lax.sort((e << sh) | j_idx, dimension=-1)
+    ps = jax.lax.sort((e << sh) | j_idx, dimension=-1, is_stable=False)
     sv = ps >> sh
     sj = ps & ((1 << sh) - 1)
     same = jnp.concatenate([
@@ -86,7 +86,8 @@ def mtf_forward(data: jax.Array, n: jax.Array, chunk: int = DEFAULT_CHUNK) -> ja
         sv[:, 1:] == sv[:, :-1],
     ], axis=-1)
     prev_sorted = jnp.where(same, jnp.pad(sj, ((0, 0), (1, 0)))[:, :-1], -1)
-    prev = (jax.lax.sort((sj << sh) | (prev_sorted + 1), dimension=-1)
+    prev = (jax.lax.sort((sj << sh) | (prev_sorted + 1), dimension=-1,
+                         is_stable=False)
             & ((1 << sh) - 1)) - 1
 
     # windowed distinct count: for real position i (local index 256+t),

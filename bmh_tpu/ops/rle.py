@@ -76,7 +76,7 @@ def rle0_encode(codes: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]:
         # fusion.26, ~20 ms/corpus pass)
         key = jnp.where(emit, (out_idx.astype(jnp.uint32) << 9)
                         | sym.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
-        srt = jax.lax.sort(key)
+        srt = jax.lax.sort(key, is_stable=False)  # keys distinct/sentinel
         return jnp.where(pos < m, (srt & jnp.uint32(511)).astype(jnp.int32),
                          0), m
     target = jnp.where(emit, out_idx, nmax)

@@ -46,6 +46,8 @@ class CodecConfig:
     # the remaining tied positions (ops/bwt.py sparse_refine); measured on
     # Calgary, text leaves ~1-5% of positions tied after 4 rounds
     full_rounds: int = field(default_factory=lambda: _env_int("BMH_FULL_ROUNDS", 4))
+    # blocks per device dispatch (models/pipeline.MAX_DISPATCH_BLOCKS)
+    max_dispatch: int = field(default_factory=lambda: _env_int("BMH_MAX_DISPATCH", 32))
     # sparse compact-set capacity = (batch * nmax) / sparse_cap_div; the
     # refinement loop's per-iteration cost is CAP-sized (static shapes), so
     # a deeper full_rounds pairs with a larger divisor (measured corpus
