@@ -46,12 +46,17 @@ def mtf_forward(data: jax.Array, n: jax.Array, chunk: int = DEFAULT_CHUNK) -> ja
     ext = ALPHABET + m  # extended chunk length: 256 virtual + m real
 
     pos = jnp.arange(nmax, dtype=jnp.int32)
-    chunk_id = pos // m
     sym = data.astype(jnp.int32)
 
-    # last occurrence of each symbol within each chunk (global position), -big if none
-    last_occ = jnp.full((k, ALPHABET), _NEG_BIG, dtype=jnp.int32)
-    last_occ = last_occ.at[chunk_id, sym].max(pos)
+    # last occurrence of each symbol within each chunk (global position),
+    # -big if none — a (k, m, 256) compare-select reduction: the
+    # .at[chunk_id, sym].max(pos) scatter this replaces lowered as a 4M
+    # sort + 37 ms segmented-max fusion (TRACE_r04 fusion.30, the one
+    # unattributed hot op), while the masked max fuses into VPU work
+    s_iota = jnp.arange(ALPHABET, dtype=jnp.int32)
+    last_occ = jnp.max(
+        jnp.where(sym.reshape(k, m)[:, :, None] == s_iota[None, None, :],
+                  pos.reshape(k, m)[:, :, None], _NEG_BIG), axis=1)
 
     # incoming recency per chunk: exclusive cummax over chunks, seeded with the
     # virtual initial-list times virt[s] = -(s+1)  (list front = most recent)
