@@ -82,3 +82,41 @@ def test_phase_b_maxl_variants_agree_on_true_lane(rng):
     part = PD.phase_b_scan(tiles, count_t, entry, chunk_bits=chunk_bits,
                            maxl=trimmed)
     np.testing.assert_array_equal(np.asarray(full), np.asarray(part))
+
+
+def test_pallas_ibwt_walk_matches_xla(rng):
+    """Interpret-mode correctness of the VMEM iBWT walk kernel (a recorded
+    negative result for TPU compilation — see ops/pallas_ibwt.py docstring;
+    this keeps the kernel's semantics pinned should the toolchain gain
+    support)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bmh_tpu.ops import bwt as B
+    from bmh_tpu.ops import pallas_ibwt as PI
+
+    nmax, n = 2048, 2000
+    b = 8
+    lfs, starts, refs, ns = [], [], [], []
+    for i in range(b):
+        data = rng.integers(0, 5, n - i).astype(np.uint8)
+        pad = np.zeros(nmax, np.uint8)
+        pad[: data.size] = data
+        last, shift, cps, aper = jax.jit(B.bwt_forward_cp)(
+            jnp.asarray(pad), jnp.int32(data.size))
+        assert bool(aper)
+        packed = B._lf_map_packed(jnp.asarray(last), jnp.int32(data.size))
+        k = max(nmax // B.CURSOR_STRIDE, 1)
+        st = jnp.concatenate([shift[None].astype(jnp.int32), cps[: k - 1]])
+        lfs.append(packed)
+        starts.append(jnp.clip(st, 0, nmax - 1))
+        refs.append(np.asarray(jax.jit(B.bwt_inverse_cursors)(
+            jnp.asarray(last), shift, cps, jnp.int32(data.size))))
+        ns.append(data.size)
+    k = max(nmax // B.CURSOR_STRIDE, 1)
+    out = PI.ibwt_walk(jnp.stack(lfs), jnp.stack(starts), steps=nmax // k,
+                       interpret=True)
+    got = np.asarray(out)
+    for i in range(b):
+        walk = got[i].T.reshape(nmax)[: ns[i]].astype(np.uint8)
+        np.testing.assert_array_equal(walk, refs[i][: ns[i]])
