@@ -227,15 +227,19 @@ def sparse_refine(rank: jax.Array, blk: jax.Array, pos: jax.Array,
         jnp.int32(1 << 30) | midx, mode="drop")[: b * nmax]
     rc0 = rank_flat[safe_pos]  # compact working ranks
 
+    tag = jnp.int32(1 << 30)
+    cmask = jnp.int32((1 << 30) - 1)
+
     def body(state):
-        rc, hm, h, _ = state
+        """One refinement round over the full compact set; also emits a
+        per-entry still-tied flag (rides the inverse scatter packed into
+        the rank's low bit — ranks < 2^23)."""
+        rc, _, hm, h, _ = state
         p2 = pos + hm
         p2 = jnp.where(p2 >= nb, p2 - nb, p2)
         f2 = jnp.clip(blk, 0, b - 1) * nmax + p2
         g2 = comb[f2]
-        r2 = jnp.where(g2 >= jnp.int32(1 << 30),
-                       rc[jnp.clip(g2 & jnp.int32((1 << 30) - 1), 0, m - 1)],
-                       g2)
+        r2 = jnp.where(g2 >= tag, rc[jnp.clip(g2 & cmask, 0, m - 1)], g2)
         k1 = jnp.where(valid, blk * nmax + rc, pad_key)
         k2 = jnp.where(valid, r2, 0)
         # head1/head12 read only key-equality group boundaries -> unstable
@@ -247,17 +251,93 @@ def sparse_refine(rank: jax.Array, blk: jax.Array, pos: jax.Array,
         blk_s = blk[sidx]
         r1_s = sk1 - blk_s * nmax
         new_rank_s = r1_s + (head12 - head1)
-        rc = jnp.zeros(m, jnp.int32).at[sidx].set(new_rank_s)  # M-sized
+        eq12 = jnp.logical_not(ch12) & (midx > 0)
+        tied_s = eq12 | jnp.concatenate([eq12[1:], jnp.zeros(1, jnp.bool_)])
+        packed = jnp.zeros(m, jnp.int32).at[sidx].set(
+            (new_rank_s << 1) | tied_s.astype(jnp.int32))
         done = jnp.all(ch12 | (midx == 0))
         hm2 = hm * 2
         hm = jnp.where(hm2 >= nb, hm2 - nb, hm2)
-        return rc, hm, h * 2, done
+        return packed >> 1, packed & 1, hm, h * 2, done
 
     def cond(state):
-        _, _, h, done = state
+        _, _, _, h, done = state
         return jnp.logical_and(h < nmax, jnp.logical_not(done))
 
-    rc, _, _, _ = jax.lax.while_loop(cond, body, (rc0, hm0, h0, jnp.bool_(False)))
+    state0 = (rc0, jnp.ones(m, jnp.int32), hm0, h0, jnp.bool_(False))
+    m2 = min(max(m // 4, 4096), m)
+    if m2 >= m:
+        rc, _, _, _, _ = jax.lax.while_loop(cond, body, state0)
+    else:
+        # TIER 1: two rounds at full capacity (the tied set roughly halves
+        # per round on text), then re-compact the survivors into a
+        # quarter-capacity TIER 2 — per-round cost is capacity-sized
+        # (static shapes), so the tail rounds run ~4x cheaper.  Overflow
+        # falls back to full-capacity rounds (correct, just slower).
+        def cond1(state):
+            _, _, _, h, done = state
+            return jnp.logical_and(h < h0 * 4, jnp.logical_not(done))
+
+        state1 = jax.lax.while_loop(cond1, body, state0)
+        rc1, tied1, hm1, h1, done1 = state1
+        tied_cnt = jnp.sum(tied1)
+        big = jnp.int32(1 << 30)
+        midx2 = jnp.arange(m2, dtype=jnp.int32)
+        pad_key2 = jnp.int32(b * nmax) + midx2
+
+        def tier2(args):
+            rc, tied, hm, h, done = args
+            key = jnp.where(tied > 0, midx, big)
+            sk, blk2, pos2, hm2c, oidx = jax.lax.sort(
+                (key, blk, pos, hm, midx), num_keys=1, is_stable=False)
+            inval = sk[:m2] >= big
+            blk2 = jnp.where(inval, b, blk2[:m2])
+            pos2 = pos2[:m2]
+            hm2c = hm2c[:m2]
+            oidx = jnp.where(inval, m, oidx[:m2])  # pads scatter out of bounds
+            nb2 = ns[jnp.clip(blk2, 0, b - 1)]
+
+            def body2(state):
+                rc, hmc, h, _ = state
+                p2 = pos2 + hmc
+                p2 = jnp.where(p2 >= nb2, p2 - nb2, p2)
+                f2 = jnp.clip(blk2, 0, b - 1) * nmax + p2
+                g2 = comb[f2]
+                r2 = jnp.where(g2 >= tag,
+                               rc[jnp.clip(g2 & cmask, 0, m - 1)], g2)
+                rself = rc[jnp.clip(oidx, 0, m - 1)]
+                k1 = jnp.where(blk2 < b, blk2 * nmax + rself, pad_key2)
+                k2 = jnp.where(blk2 < b, r2, 0)
+                sk1, sk2, sidx = _stable_sort3(k1, k2, midx2, stable=False)
+                ch1 = jnp.concatenate([jnp.zeros(1, jnp.bool_),
+                                       sk1[1:] != sk1[:-1]])
+                ch12 = ch1 | jnp.concatenate([jnp.zeros(1, jnp.bool_),
+                                              sk2[1:] != sk2[:-1]])
+                head1 = jax.lax.cummax(jnp.where(ch1, midx2, 0))
+                head12 = jax.lax.cummax(jnp.where(ch12, midx2, 0))
+                r1_s = sk1 - blk2[sidx] * nmax
+                new_rank_s = r1_s + (head12 - head1)
+                rc = rc.at[oidx[sidx]].set(new_rank_s, mode="drop")
+                done = jnp.all(ch12 | (midx2 == 0))
+                hm2x = hmc * 2
+                hmc = jnp.where(hm2x >= nb2, hm2x - nb2, hm2x)
+                return rc, hmc, h * 2, done
+
+            def cond2(state):
+                _, _, h, done = state
+                return jnp.logical_and(h < nmax, jnp.logical_not(done))
+
+            rc, _, _, _ = jax.lax.while_loop(
+                cond2, body2, (rc, hm2c, h, done))
+            return rc
+
+        def full_tail(args):
+            rc, tied, hm, h, done = args
+            rc, _, _, _, _ = jax.lax.while_loop(
+                cond, body, (rc, tied, hm, h, done))
+            return rc
+
+        rc = jax.lax.cond(tied_cnt <= m2, tier2, full_tail, state1)
     target = jnp.where(valid, flat_pos, b * nmax)
     rank_flat = rank_flat.at[target].set(rc, mode="drop")
     return rank_flat.reshape(b, nmax)

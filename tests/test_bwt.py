@@ -139,3 +139,30 @@ def test_sparse_pipeline_stage1_matches_fused(rng):
     want = P._batched_stage1(nmax, 4)(jnp.asarray(blocks), jnp.asarray(ns))
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_sparse_refine_tier2_compaction(rng):
+    """Large tied sets exercise the quarter-capacity second compaction tier
+    (m_pad >= 4*4096 with ties that resolve after two rounds)."""
+    nmax, b = 8192, 8
+    blocks = rng.integers(0, 3, (b, nmax)).astype(np.uint8)  # tiny alphabet
+    ns = np.full(b, nmax, dtype=np.int32)
+    ns[-1] = nmax - 777
+    got = _sparse_rank_roundtrip(blocks, ns, 4)
+    full = jax.jit(jax.vmap(lambda d, n: jbwt.bwt_rounds(d, n)[0]))(
+        jnp.asarray(blocks), jnp.asarray(ns))
+    np.testing.assert_array_equal(got, np.asarray(full))
+
+
+def test_sparse_refine_tier2_overflow_fallback(rng):
+    """Run-dominated ties that DON'T fit the tier-2 capacity after two
+    rounds must fall back to full-capacity rounds and still match."""
+    nmax, b = 8192, 8
+    motif = rng.integers(0, 200, 32, dtype=np.uint8)
+    blocks = np.tile(motif, (b, nmax // 32))  # period 32: ties persist
+    blocks[:, -64:] = rng.integers(0, 200, (b, 64))  # break exact periodicity
+    ns = np.full(b, nmax, dtype=np.int32)
+    got = _sparse_rank_roundtrip(blocks, ns, 4)
+    full = jax.jit(jax.vmap(lambda d, n: jbwt.bwt_rounds(d, n)[0]))(
+        jnp.asarray(blocks), jnp.asarray(ns))
+    np.testing.assert_array_equal(got, np.asarray(full))
