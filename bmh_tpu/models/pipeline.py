@@ -368,6 +368,61 @@ def _sparse_ranks(batch_j, ns_j, ns_np):
     return rank
 
 
+# Upload quantum for the compact batch transfer: ragged/RLE1'd blocks leave
+# ~30% padding in a (B, nmax) upload (~1.3 MB = ~30 ms of tunnel on the
+# corpus batch); instead the host ships one compact byte stream padded to
+# a multiple of this quantum, and a small device program re-inflates it to
+# the padded batch via per-block dynamic slices (copies, ~1 ms).  The
+# quantum bounds the number of compiled reshape programs per batch shape.
+_UPLOAD_QUANTUM = 1 << 19
+
+
+@functools.lru_cache(maxsize=128)
+def _inflate_prog(s: int, nmax: int, batch: int):
+    """(S,) uint8 compact stream + (B,) offsets + (B,) lengths ->
+    (B, nmax) uint8 padded batch (zeros past each block's length)."""
+
+    @jax.jit
+    def f(flat, offs, ns):
+        def one(off, n):
+            row = jax.lax.dynamic_slice(flat, (jnp.clip(off, 0, s - nmax),),
+                                        (nmax,))
+            pos = jnp.arange(nmax, dtype=jnp.int32)
+            return jnp.where(pos < n, row, 0)
+
+        return jax.vmap(one)(offs, ns)
+
+    return f
+
+
+def _upload_batch(arrs, idxs, ns, nmax: int, b_pad: int):
+    """Stage a dispatch batch on device: compact-stream upload + device
+    inflate when it saves meaningful transfer; plain (B, nmax) upload
+    otherwise."""
+    total = int(sum(arrs[i].size for i in idxs))
+    s = max(-(-(total + nmax) // _UPLOAD_QUANTUM) * _UPLOAD_QUANTUM,
+            _UPLOAD_QUANTUM)
+    # the inflate is an extra dispatch (~23 ms tunnel latency), so it only
+    # pays when the padding saved exceeds ~2 MB of transfer (measured: the
+    # corpus batch's 1.3 MB padding is a wash) — heavily RLE1-collapsed or
+    # ragged-tail batches are the winners
+    if s + 4 * _UPLOAD_QUANTUM >= b_pad * nmax:
+        batch = np.zeros((b_pad, nmax), dtype=np.uint8)
+        for row, i in enumerate(idxs):
+            batch[row, : arrs[i].size] = arrs[i]
+        return jnp.asarray(batch)
+    flat = np.zeros(s, dtype=np.uint8)
+    offs = np.zeros(b_pad, dtype=np.int32)
+    off = 0
+    for row, i in enumerate(idxs):
+        flat[off: off + arrs[i].size] = arrs[i]
+        offs[row] = off
+        off += arrs[i].size
+    # dummy rows (row >= len(idxs)) read offset 0 with length 1 -> zeros-ish
+    return _inflate_prog(s, nmax, b_pad)(jnp.asarray(flat), jnp.asarray(offs),
+                                         jnp.asarray(ns))
+
+
 @functools.lru_cache(maxsize=128)
 def _batched_compress_one_dispatch(nmax: int, batch: int):
     """The WHOLE compress for a batch as ONE jitted program (see
@@ -606,12 +661,11 @@ class JaxBackend:
           for idxs in _chunks(all_idxs):
             b_real = len(idxs)
             b_pad = _next_pow2(b_real)
-            batch = np.zeros((b_pad, nmax), dtype=np.uint8)
             ns = np.ones(b_pad, dtype=np.int32)  # dummy rows compress n=1
             for row, i in enumerate(idxs):
-                batch[row, : arrs[i].size] = arrs[i]
                 ns[row] = arrs[i].size
-            batch_j, ns_j = jnp.asarray(batch), jnp.asarray(ns)
+            batch_j = _upload_batch(arrs, idxs, ns, nmax, b_pad)
+            ns_j = jnp.asarray(ns)
             ndev = _ndev_for(b_pad)
             LAST_DISPATCH["compress_ndev"] = ndev
             with annotate(f"compress_dispatch_b{b_pad}"):
