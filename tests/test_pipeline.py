@@ -76,3 +76,25 @@ def test_bounded_inflight_drain(rng):
         assert api.decompress_bytes(blob) == data
     finally:
         config_mod.DEFAULT.inflight = old
+
+
+def test_compact_upload_inflate_path(rng):
+    """Small blocks forced into a large uniform bucket trigger the
+    compact-stream upload + device inflate (models/pipeline._upload_batch);
+    containers must match the plain-upload path byte for byte."""
+    from bmh_tpu import api
+    from bmh_tpu.models import pipeline as P
+
+    datas = [bytes(rng.integers(0, 120, 3000 + 17 * i).astype(np.uint8))
+             for i in range(30)]
+    # uniform=True pads every block to the block_size bucket: 30 blocks of
+    # ~3 KB in a 128 KiB bucket -> s + 4Q << b_pad * nmax -> inflate path
+    misses0 = P._inflate_prog.cache_info().misses
+    blobs_u = api.compress_many(datas, block_size=131072, uniform=True)
+    assert P._inflate_prog.cache_info().misses > misses0, \
+        "expected the compact-upload inflate path to engage"
+    blobs_p = [api.compress_bytes(d, block_size=131072) for d in datas]
+    assert [len(b) for b in blobs_u] == [len(b) for b in blobs_p]
+    assert blobs_u == blobs_p
+    for d, b in zip(datas, blobs_u):
+        assert api.decompress_bytes(b) == d
