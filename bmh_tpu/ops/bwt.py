@@ -78,19 +78,38 @@ CURSOR_STRIDE = _config_mod.DEFAULT.cursor_stride
 
 
 def _init_rank(data: jax.Array, n: jax.Array) -> jax.Array:
-    """Initial ranks: the first TWO bytes of each rotation packed into 16
-    bits (one fewer doubling round than single-byte init); pads get huge
-    distinct ranks so they sort last."""
+    """Initial ranks: the first FOUR bytes of each rotation packed into 32
+    bits, sign-bias-mapped into int32 order (v ^ 0x80000000) — two fewer
+    doubling rounds than a single-byte init; the first round at h=4 then
+    covers 8-byte prefixes directly.  Cyclic next-bytes come from rolls
+    (dynamic slices, not gathers — a clip-gather formulation of the same
+    read traced at 45 ms).
+
+    Pads share the int32-max sentinel and so tie with each other (and,
+    rarely, with a real 0xFFFFFFFF 4-gram — harmless: rank2 separates
+    them in the first sort); _round_body masks the tied flag to the real
+    region so pad ties never reach the sparse compaction."""
     nmax = data.shape[0]
     pos = jnp.arange(nmax, dtype=jnp.int32)
     real = pos < n
-    # next byte of each rotation as a cyclic shift + one elementwise fix-up
-    # (a clip-gather formulation of the same read traced at 45 ms — rolls
-    # are dynamic slices, not gathers)
-    nxt_byte = jnp.where(pos == n - 1, data[0],
-                         jnp.roll(data, -1)).astype(jnp.int32)
-    pair = data.astype(jnp.int32) * 256 + nxt_byte
-    return jnp.where(real, pair, 65536 + pos)
+
+    def cyc(j):
+        # data[(p + j) mod n] via rolls (dynamic slices, not gathers):
+        # roll -j covers p+j < n, roll n-j one wrap, roll 2n-j the double
+        # wrap (reachable only for n < 4; for n == 1 the j == 3 byte is
+        # garbage, harmless — a single rotation needs no ordering and the
+        # finish path masks rank[0] for n <= 1)
+        r1 = jnp.roll(data, -j)
+        r2 = jnp.roll(data, n - j)
+        r3 = jnp.roll(data, 2 * n - j)
+        return jnp.where(pos < n - j, r1,
+                         jnp.where(pos < 2 * n - j, r2, r3)).astype(jnp.uint32)
+
+    v = ((data.astype(jnp.uint32) << 24) | (cyc(1) << 16) | (cyc(2) << 8)
+         | cyc(3))
+    biased = jax.lax.bitcast_convert_type(v ^ jnp.uint32(0x80000000),
+                                          jnp.int32)
+    return jnp.where(real, biased, INT32_BIG)
 
 
 def _round_body(state, n, nmax):
@@ -128,6 +147,9 @@ def _round_body(state, n, nmax):
     new_rank_sorted = jax.lax.cummax(jnp.where(changed, pos, 0))
     eq_prev = jnp.logical_not(changed) & (pos > 0)
     tied_sorted = eq_prev | jnp.concatenate([eq_prev[1:], jnp.zeros(1, jnp.bool_)])
+    # pads share the init sentinel rank and tie with each other; only REAL
+    # positions may enter the sparse compaction
+    tied_sorted = tied_sorted & (order < n)
     # inverse-permute back to position order by *sorting* on the (unique)
     # position payload: a second sort is ~2x cheaper than the 4M-element
     # random scatter it replaces (traced: 20.5 ms/round scatter fusion vs
@@ -161,8 +183,9 @@ def bwt_rounds(data: jax.Array, n: jax.Array, h_stop: int | None = None):
 
     # initial done: n <= 1 means ranks are trivially distinct already (also
     # keeps the carry's mesh-varying type stable under shard_map); h starts
-    # at 2 because the initial ranks already order 2-byte prefixes
-    state = (rank, jnp.zeros(nmax, jnp.int32), jnp.int32(2), n <= 1)
+    # at 4 because the initial ranks already order 4-byte prefixes — one
+    # fewer executed round than the 2-byte init for the same h_stop
+    state = (rank, jnp.zeros(nmax, jnp.int32), jnp.int32(4), n <= 1)
     return jax.lax.while_loop(cond, lambda s: _round_body(s, n, nmax), state)
 
 
@@ -410,10 +433,17 @@ def bwt_finish_cp(data: jax.Array, n: jax.Array, rank: jax.Array):
     real = pos < n
     # prev[i] = data[(i-1) mod n] — a roll plus one scalar fix-up
     prev = jnp.roll(data, 1).at[0].set(data[jnp.clip(n - 1, 0, nmax - 1)])
+    # force pad ranks out of the real range before the final sort: with the
+    # 4-byte packed init, pads share the int32-max sentinel and a real
+    # 0xFFFFFFFF 4-gram can drag the pad tie group to a REAL-range head
+    # index that sparse refinement never re-assigns (pads are masked out of
+    # the compact set) — unmasked, such pads would interleave with real
+    # rows in the final order and corrupt the last column
+    rank = jnp.where(real, rank, INT32_BIG)
     rank_sorted, _, last_sorted = _stable_sort3(rank, pos, prev.astype(jnp.int32))
     last = jnp.where(real, last_sorted, 0).astype(jnp.uint8)
     # n <= 1 blocks skip the rounds loop entirely, so their rank is still
-    # the raw 2-byte init (not head-index); their shift is trivially 0
+    # the raw 4-byte biased init (not head-index); their shift is trivially 0
     shift = jnp.where(n <= 1, 0, rank[0]).astype(jnp.int32)
 
     # aperiodic <=> real ranks are pairwise distinct <=> sorted real ranks

@@ -93,8 +93,11 @@ class CodecConfig:
             raise ValueError("mtf_chunk must be a power of two")
         if self.decode_chunk_bits % 32:
             raise ValueError("decode_chunk_bits must be a multiple of 32")
-        if not 1 <= self.full_rounds <= 16:
-            raise ValueError("full_rounds must be in [1, 16]")
+        if not 2 <= self.full_rounds <= 16:
+            # the 4-byte packed init already orders 4-byte prefixes
+            # (h starts at 4); at least one executed doubling round is
+            # required before sparse refinement (head-index ranks)
+            raise ValueError("full_rounds must be in [2, 16]")
         if self.imtf_chunk & (self.imtf_chunk - 1):
             raise ValueError("imtf_chunk must be a power of two")
         if self.cursor_stride & (self.cursor_stride - 1) or self.cursor_stride < 64:

@@ -103,7 +103,7 @@ def _sparse_rank_roundtrip(blocks, ns, h_stop):
     return np.asarray(out)
 
 
-@pytest.mark.parametrize("h_stop", [4, 8, 16])
+@pytest.mark.parametrize("h_stop", [8, 16, 32])
 def test_sparse_refine_matches_full_rounds(rng, h_stop):
     """Sparse refinement must land on the same final ranks as full rounds,
     including ragged lengths, periodic blocks, and text-like repetition."""
@@ -148,7 +148,7 @@ def test_sparse_refine_tier2_compaction(rng):
     blocks = rng.integers(0, 3, (b, nmax)).astype(np.uint8)  # tiny alphabet
     ns = np.full(b, nmax, dtype=np.int32)
     ns[-1] = nmax - 777
-    got = _sparse_rank_roundtrip(blocks, ns, 4)
+    got = _sparse_rank_roundtrip(blocks, ns, 8)
     full = jax.jit(jax.vmap(lambda d, n: jbwt.bwt_rounds(d, n)[0]))(
         jnp.asarray(blocks), jnp.asarray(ns))
     np.testing.assert_array_equal(got, np.asarray(full))
@@ -162,7 +162,26 @@ def test_sparse_refine_tier2_overflow_fallback(rng):
     blocks = np.tile(motif, (b, nmax // 32))  # period 32: ties persist
     blocks[:, -64:] = rng.integers(0, 200, (b, 64))  # break exact periodicity
     ns = np.full(b, nmax, dtype=np.int32)
-    got = _sparse_rank_roundtrip(blocks, ns, 4)
+    got = _sparse_rank_roundtrip(blocks, ns, 8)
     full = jax.jit(jax.vmap(lambda d, n: jbwt.bwt_rounds(d, n)[0]))(
         jnp.asarray(blocks), jnp.asarray(ns))
     np.testing.assert_array_equal(got, np.asarray(full))
+
+
+def test_forward_cp_ff_runs_near_pad(rng):
+    """0xFF 4-grams share the 4-byte packed init's pad sentinel; the
+    finish-time pad-rank mask must keep pads out of the real order (a
+    corrupt last column here would silently break geo/obj-like inputs)."""
+    nmax = 1024
+    for n in [1000, 1023, 5, 4]:
+        data = rng.integers(0, 256, n).astype(np.uint8)
+        data[-min(6, n):] = 255  # 0xFF run ending at the rotation boundary
+        if n > 12:
+            data[3:9] = 255      # and one mid-block
+        pad = np.zeros(nmax, np.uint8)
+        pad[:n] = data
+        last, shift, cps, aper = jax.jit(jbwt.bwt_forward_cp)(
+            jnp.asarray(pad), jnp.int32(n))
+        s_ref, l_ref = oracle.bwt(data)
+        np.testing.assert_array_equal(np.asarray(last)[:n], l_ref)
+        assert int(shift) == s_ref
