@@ -15,8 +15,6 @@ so one compilation serves a whole padded-size bucket; padded positions carry
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 

@@ -36,7 +36,6 @@ ALPHABET = 256
 RLE_ALPHABET = 257    # MTF alphabet + RUNA/RUNB (ops/rle.py)
 MAX_LEN = 31          # code lengths fit 5 container bits
 GAPS = 32             # possible codeword-boundary offsets at a chunk cut
-DEFAULT_CHUNK_BITS = 2048
 
 
 def _use_pallas_decode() -> bool:
