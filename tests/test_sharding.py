@@ -120,3 +120,18 @@ def test_production_backend_partial_batch_shards(rng):
     blob = api.compress_bytes(data, block_size=1024)
     assert pipeline.LAST_DISPATCH["compress_ndev"] >= 2
     assert api.decompress_bytes(blob) == data
+
+
+@pytest.mark.slow
+def test_production_multibatch_sharded_stream(rng):
+    """A ~4 MB stream spanning two dispatch chunks round-trips through the
+    sharded production path (8-way main batch + power-of-two remainder)."""
+    from bmh_tpu import api
+    from bmh_tpu.utils import corpus
+
+    try:
+        text = corpus.read_corpus_file("book2") * 7  # ~4.3 MB, 33 blocks
+    except Exception:
+        text = bytes(rng.integers(0, 200, 4 << 20).astype(np.uint8))
+    blob = api.compress_bytes(text, block_size=131072)
+    assert api.decompress_bytes(blob) == text
