@@ -211,7 +211,6 @@ def decompress_many(bufs: list[bytes], backend: str = "jax",
     raw_lens: list[int] = []
     spans: list[tuple[int, int, int]] = []
     max_block = 0
-    max_payload = 0
     for buf in bufs:
         bs, total, raw_blocks = container.unpack_file(buf)
         stride = container.file_stride(buf)
@@ -219,7 +218,6 @@ def decompress_many(bufs: list[bytes], backend: str = "jax",
         spans.append((len(infos), len(raw_blocks), total))
         for raw in raw_blocks:
             orig_len, shift, lens, present, cps, rle_len, payload, pre_len =                 container.unpack_block(raw)
-            max_payload = max(max_payload, len(payload))
             raw_lens.append(orig_len)
             infos.append({"orig_len": pre_len, "shift": shift, "lens": lens,
                           "present": present, "cps": cps, "rle_len": rle_len,
@@ -228,11 +226,7 @@ def decompress_many(bufs: list[bytes], backend: str = "jax",
     if not infos:
         parts = []
     elif uniform and be.name == "jax":
-        from .models import pipeline as _pl
-
-        wbytes = _pl.DECODE_CHUNK_BITS // 8
-        cb = _pl._next_pow2(max(1, -(-max_payload // wbytes)))
-        parts = be.decompress_blocks(infos, bucket=max_block, chunk_bucket=cb)
+        parts = be.decompress_blocks(infos, bucket=max_block)
     else:
         parts = be.decompress_blocks(infos)
     out = []

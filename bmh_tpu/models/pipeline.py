@@ -51,18 +51,16 @@ def _n_cps(n: int) -> int:
     return max(-(-n // ops_bwt.CURSOR_STRIDE) - 1, 0)
 
 
-# Device dispatches are capped at this many blocks: one (32, 128K) stage-1
-# batch already saturates the chip, larger batches only grow the working set
-# (a 256 MB stream would otherwise be one 2048-block dispatch and OOM), and
-# the cap keeps the set of compiled batch shapes small.  BMH_MAX_DISPATCH
-# overrides (smaller caps split a pass into several dispatches so transfers
-# of one batch overlap device compute of the next).
-MAX_DISPATCH_BLOCKS = config_mod.DEFAULT.max_dispatch
-
-
 def _chunks(seq: list, size: int | None = None):
-    """Split a group's index list into dispatch-sized chunks."""
-    size = size or MAX_DISPATCH_BLOCKS
+    """Split a group's index list into dispatch-sized chunks.
+
+    The cap (BMH_MAX_DISPATCH / CodecConfig.max_dispatch, read at call time
+    so runtime config mutation takes effect) bounds each device dispatch:
+    one (32, 128K) stage-1 batch already saturates the chip, larger batches
+    only grow the working set (a 256 MB stream would otherwise be one
+    2048-block dispatch and OOM), and the cap keeps the set of compiled
+    batch shapes small."""
+    size = size or config_mod.DEFAULT.max_dispatch
     return [seq[i:i + size] for i in range(0, len(seq), size)]
 
 # Prefix doubling exits when every block's ranks are distinct, so one
@@ -505,14 +503,17 @@ def _batched_decode2(nmax: int, batch: int):
 
 @functools.lru_cache(maxsize=128)
 def _decode_flat(nc: int, nmax: int, batch: int, chunk_bits: int, maxl: int,
-                 stride: int = ops_bwt.CURSOR_STRIDE):
+                 stride: int = ops_bwt.CURSOR_STRIDE,
+                 place_mode: str = "sort"):
     """Fused flat Huffman gap decode + inverse MTF + cursor iBWT.
 
     Takes per-block code lengths; the canonical decode tables (per-length
     counts, symbol lists) are built on device (decode_tables_device), so
     the host does no per-block table work and ships (B, 257) lens instead
     of a (32, NC) broadcast table.  `stride` is the encoding file's cursor
-    checkpoint spacing (container.file_stride)."""
+    checkpoint spacing (container.file_stride); `place_mode` is the literal
+    placement strategy (part of the cache key, so runtime config mutation
+    of decode_place takes effect instead of hitting a stale program)."""
     kcp = max(max(nmax // stride, 1) - 1, 1)
 
     @jax.jit
@@ -525,7 +526,7 @@ def _decode_flat(nc: int, nmax: int, batch: int, chunk_bits: int, maxl: int,
         # no symbol-placement scatter (VERDICT r3 item 2)
         codes = ops_huf.gap_decode_rle0_flat(
             words_flat, count_t, seg_start, seg_start_idx, seg_id, sym_b,
-            ms, ns, nmax, chunk_bits, maxl)
+            ms, ns, nmax, chunk_bits, maxl, place_mode=place_mode)
 
         def per_block(codes_b, shift, cp, n):
             last = ops_mtf.mtf_inverse(codes_b, n, MTF_CHUNK)
@@ -697,12 +698,10 @@ class JaxBackend:
             _drain_compress(entry, results, annotate)
         return results  # type: ignore[return-value]
     def decompress_blocks(self, blocks: list[dict],
-                          bucket: int | None = None,
-                          chunk_bucket: int | None = None) -> list[np.ndarray]:
+                          bucket: int | None = None) -> list[np.ndarray]:
         """bucket: force a uniform padded block size so a heterogeneous batch
         shares one compiled shape; dispatches are capped at
-        MAX_DISPATCH_BLOCKS blocks each.  (chunk_bucket is accepted for API
-        compat; the flat chunk axis makes it unnecessary.)"""
+        config.max_dispatch blocks each."""
         results: list[np.ndarray | None] = [None] * len(blocks)
 
         def blk_bucket(n: int) -> int:
@@ -743,9 +742,9 @@ class JaxBackend:
             devs = devs[:cap]
 
         pending = []  # dispatched flat-decode chunks awaiting their pull
-        drained = [0]
-        n_dispatched = 0
-        for (nmax, stride_g), f_idxs in fgroups.items():
+        n_dispatched = 0          # monotonic: round-robin device index (the
+        used_devs: set = set()    # len(pending)-based index degenerated to one
+        for (nmax, stride_g), f_idxs in fgroups.items():  # device once the inflight window saturated)
           for idxs in _chunks(f_idxs):
             b_real = len(idxs)
             b_pad = _next_pow2(b_real)
@@ -774,7 +773,7 @@ class JaxBackend:
             ms[b_pad] = 0
             shifts = np.zeros(b_pad, dtype=np.int32)
             fn, kcp = _decode_flat(nc, nmax, b_pad, DECODE_CHUNK_BITS, maxl,
-                                   stride_g)
+                                   stride_g, config_mod.DEFAULT.decode_place)
             cps = np.zeros((b_pad, kcp), dtype=np.int32)
 
             for row, (i, (c0, nc_b)) in enumerate(zip(idxs, spans)):
@@ -794,20 +793,20 @@ class JaxBackend:
                     cc = np.asarray(bc, dtype=np.int32)[:kcp]
                     cps[row, : cc.size] = cc
 
-            dev = devs[len(pending) % len(devs)]
+            dev = devs[n_dispatched % len(devs)]
+            n_dispatched += 1
+            used_devs.add(id(dev))
             put = ((lambda x: jax.device_put(x, dev)) if dev is not None
                    else jnp.asarray)
             data = fn(put(words), put(lens_all),
                       put(seg_start), put(seg_start_idx), put(seg_id),
                       put(ms), put(ns), put(shifts), put(cps))
             pending.append((idxs, ns, data))
-            n_dispatched = len(pending) + drained[0]
             # bound in-flight outputs (see compress_blocks): keep at least
             # one dispatch per device in flight so round-robin still overlaps
             while len(pending) > max(config_mod.DEFAULT.inflight, len(devs)):
                 _drain_decompress(pending.pop(0), results)
-                drained[0] += 1
-        LAST_DISPATCH["decompress_ndev"] = max(1, min(len(devs), n_dispatched))
+        LAST_DISPATCH["decompress_ndev"] = max(1, len(used_devs))
 
         for entry in pending:
             _drain_decompress(entry, results)

@@ -466,7 +466,8 @@ def gap_decode_rle0_flat(words: jax.Array, count_t: jax.Array,
                          seg_id: jax.Array, sym_tbl: jax.Array,
                          ms: jax.Array, ns: jax.Array,
                          nmax: int, chunk_bits: int,
-                         maxl: int = MAX_LEN) -> jax.Array:
+                         maxl: int = MAX_LEN,
+                         place_mode: str | None = None) -> jax.Array:
     """Fused parallel Huffman gap decode + RLE0 inverse over the flat chunk
     axis: (packed payload words of a whole batch) -> (B, nmax) MTF codes.
 
@@ -519,9 +520,13 @@ def gap_decode_rle0_flat(words: jax.Array, count_t: jax.Array,
     j = within - lastlit - 1
 
     # decoded-position contribution of each symbol (bijective base 2 for
-    # runs, 1 for literals; ops/rle.py rle0_decode semantics)
+    # runs, 1 for literals; ops/rle.py rle0_decode semantics).  j is clipped
+    # to 22: well-formed zero-run groups never exceed log2(nmax) <= 21
+    # symbols, and at 30 a corrupt payload's (1+s) << j wraps int32 negative
+    # — the place < ns guard keeps that memory-safe but silently wrong,
+    # whereas <= (3 << 22) contributions stay positive and out of range
     contrib = jnp.where(islit, 1,
-                        jnp.where(isrun, (1 + s) << jnp.clip(j, 0, 30), 0))
+                        jnp.where(isrun, (1 + s) << jnp.clip(j, 0, 22), 0))
     cs = jnp.cumsum(contrib, axis=0)
     carry_sum = _seg_scan_chunks(cs[-1], seg_start, "sum", 0)
     out_pos = cs - contrib + carry_sum[None, :]  # exclusive, within block
@@ -530,10 +535,11 @@ def gap_decode_rle0_flat(words: jax.Array, count_t: jax.Array,
     target = jnp.where(place, seg_id[None, :] * nmax + out_pos, flat_cap)
     val = jnp.clip(s - 1, 0, 255)
 
-    from ..utils import config as config_mod
+    if place_mode is None:
+        from ..utils import config as config_mod
 
-    use_sort = (config_mod.DEFAULT.decode_place == "sort"
-                and flat_cap <= (1 << 22))
+        place_mode = config_mod.DEFAULT.decode_place
+    use_sort = place_mode == "sort" and flat_cap <= (1 << 22)
     out = jnp.zeros(flat_cap + 1, dtype=jnp.int32)
     if use_sort:
         # ONE packed single-array sort (target 23 bits | value 9 bits)

@@ -85,6 +85,28 @@ def rle0_encode(codes: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]:
     return out[:nmax], m
 
 
+def rle0_decoded_len(syms: jax.Array, m: jax.Array) -> jax.Array:
+    """Exact decoded length of an RLE0 symbol stream (first m of syms).
+
+    The integrity counterpart of `rle0_decode`: a container whose `rle_len`
+    or payload lies about the stream decodes to a total != the recorded
+    block length, and the decompress paths compare this total against `n`
+    to fail closed instead of returning silently wrong bytes of the right
+    length (the reference's equivalent corruption is undefined behaviour,
+    /root/reference/io_utilities.h:40-51)."""
+    nmax = syms.shape[0]
+    pos = jnp.arange(nmax, dtype=jnp.int32)
+    valid = pos < m
+    s = syms.astype(jnp.int32)
+    isrun = (s <= 1) & valid
+    prev = jnp.concatenate([jnp.zeros(1, bool), isrun[:-1]])
+    grp_start = isrun & jnp.logical_not(prev)
+    start_pos = jax.lax.cummax(jnp.where(grp_start, pos, -1))
+    j = jnp.clip(pos - start_pos, 0, MAX_LOG)
+    contrib = jnp.where(valid, jnp.where(isrun, (1 + s) << j, 1), 0)
+    return jnp.sum(contrib).astype(jnp.int32)
+
+
 def rle0_decode(syms: jax.Array, m: jax.Array, n: jax.Array) -> jax.Array:
     """RLE0 symbols -> MTF codes.
 

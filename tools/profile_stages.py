@@ -184,7 +184,7 @@ def main(block_size=131072):
     # rounded with the pipeline's own _next_pow2 so profiled shapes match
     # what decompress_blocks actually compiles and runs
     d_in = [b for b in blks if int(np.asarray(b["present"]).sum()) > 1]
-    d_in = d_in[: P.MAX_DISPATCH_BLOCKS]
+    d_in = d_in[: P.config_mod.DEFAULT.max_dispatch]
     wbytes = P.DECODE_CHUNK_BITS // 8
     spans, nc_true, maxl = [], 0, 0
     for b in d_in:
