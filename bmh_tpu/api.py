@@ -132,6 +132,59 @@ def compress_bytes(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK_SIZ
                                stride=_codec_stride())
 
 
+def _validate_block_info(orig_len: int, pre_len: int, rle_len: int,
+                         cps, lens: np.ndarray, present: np.ndarray,
+                         payload: bytes, block_size: int, stride: int,
+                         shift: int = 0) -> None:
+    """Cross-field consistency checks on an unpacked block.
+
+    The container CRC only proves the bytes are the writer's bytes; a
+    hostile writer can stamp a fresh CRC over internally inconsistent
+    fields.  Everything checkable without decoding is checked here (the
+    rest — a payload whose symbols decode to the wrong total — is caught
+    by the device pipelines' decoded-total trailer).  The reference's
+    behaviour on all of these is undefined (io_utilities.h:40-51)."""
+    if orig_len == 0:
+        return
+    if orig_len > block_size:
+        raise ValueError(f"corrupt block: orig_len {orig_len} exceeds "
+                         f"block_size {block_size}")
+    if not 1 <= pre_len <= orig_len:
+        raise ValueError(f"corrupt block: pre_len {pre_len} outside "
+                         f"[1, {orig_len}]")
+    if not 1 <= rle_len <= pre_len:
+        raise ValueError(f"corrupt block: rle_len {rle_len} outside "
+                         f"[1, {pre_len}]")
+    npres = int(present.sum())
+    if npres == 0:
+        raise ValueError("corrupt block: no symbols present")
+    if not 0 <= shift < pre_len:
+        raise ValueError(f"corrupt block: bwt shift {shift} outside "
+                         f"[0, {pre_len})")
+    if cps is not None:
+        want = max(-(-pre_len // stride) - 1, 0)
+        if len(cps) != want:
+            raise ValueError(f"corrupt block: {len(cps)} checkpoints, "
+                             f"expected {want}")
+        cc = np.asarray(cps)
+        if cc.size and (int(cc.min()) < 0 or int(cc.max()) >= pre_len):
+            raise ValueError("corrupt block: checkpoint out of range")
+    plens = lens[present]
+    if npres == 1:
+        if int(plens[0]) != 0 or payload:
+            raise ValueError("corrupt block: single-symbol block must have "
+                             "length 0 and empty payload")
+        return
+    if (plens == 0).any():
+        raise ValueError("corrupt block: present symbol with code length 0")
+    # complete canonical code: Kraft sum over present symbols must be exact
+    if int(np.sum(1 << (31 - plens.astype(np.int64)))) != (1 << 31):
+        raise ValueError("corrupt block: code lengths violate Kraft equality")
+    if len(payload) * 8 < rle_len * int(plens.min()):
+        raise ValueError("corrupt block: payload shorter than rle_len "
+                         "symbols can occupy")
+
+
 def decompress_bytes(buf: bytes, backend: str = "jax") -> bytes:
     block_size, total_size, raw_blocks = container.unpack_file(buf)
     stride = container.file_stride(buf)
@@ -139,6 +192,8 @@ def decompress_bytes(buf: bytes, backend: str = "jax") -> bytes:
     raw_lens = []
     for raw in raw_blocks:
         orig_len, shift, lens, present, cps, rle_len, payload, pre_len =             container.unpack_block(raw)
+        _validate_block_info(orig_len, pre_len, rle_len, cps, lens, present,
+                             payload, block_size, stride, shift)
         raw_lens.append(orig_len)
         infos.append({
             "orig_len": pre_len,  # the codec round-trips the RLE1'd bytes
@@ -218,6 +273,8 @@ def decompress_many(bufs: list[bytes], backend: str = "jax",
         spans.append((len(infos), len(raw_blocks), total))
         for raw in raw_blocks:
             orig_len, shift, lens, present, cps, rle_len, payload, pre_len =                 container.unpack_block(raw)
+            _validate_block_info(orig_len, pre_len, rle_len, cps, lens,
+                                 present, payload, bs, stride, shift)
             raw_lens.append(orig_len)
             infos.append({"orig_len": pre_len, "shift": shift, "lens": lens,
                           "present": present, "cps": cps, "rle_len": rle_len,

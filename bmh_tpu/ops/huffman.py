@@ -484,8 +484,10 @@ def gap_decode_rle0_flat(words: jax.Array, count_t: jax.Array,
     Reference hot loops replaced: the bit-serial decode
     /root/reference/main.cpp:259-281 and the (absent there) run stage.
     ms: (B+1,) true RLE0 symbol counts; ns: (B+1,) decoded byte lengths.
-    Returns (B, nmax) uint8 MTF codes for the b_real = seg rows (runs are
-    the zero fill).
+    Returns ((B, nmax) uint8 MTF codes for the b_real = seg rows (runs are
+    the zero fill), (B,) int32 exact decoded totals per block — != ns[b]
+    exactly when the payload/rle_len/lens lie about the stream, the
+    integrity signal the drain uses to fail closed on corrupt containers).
     """
     idxs, out_off, _ = _decode_phases(words, count_t, seg_start,
                                       seg_start_idx, chunk_bits, maxl)
@@ -531,6 +533,14 @@ def gap_decode_rle0_flat(words: jax.Array, count_t: jax.Array,
     carry_sum = _seg_scan_chunks(cs[-1], seg_start, "sum", 0)
     out_pos = cs - contrib + carry_sum[None, :]  # exclusive, within block
 
+    # exact decoded total per block: at each block's LAST chunk, the carry
+    # into the chunk plus the chunk's own contribution sum (one tiny
+    # (NC,)-sized scatter; each block has exactly one last chunk)
+    is_last = jnp.concatenate([seg_start[1:], jnp.ones(1, dtype=seg_start.dtype)])
+    chunk_tot = carry_sum + cs[-1]
+    totals = jnp.zeros(b, dtype=jnp.int32).at[
+        jnp.where(is_last, seg_id, b)].set(chunk_tot, mode="drop")[:b_real]
+
     place = islit & (out_pos < ns[seg_id][None, :])
     target = jnp.where(place, seg_id[None, :] * nmax + out_pos, flat_cap)
     val = jnp.clip(s - 1, 0, 255)
@@ -556,7 +566,7 @@ def gap_decode_rle0_flat(words: jax.Array, count_t: jax.Array,
             mode="drop", indices_are_sorted=True)
     else:
         out = out.at[target.reshape(-1)].set(val.reshape(-1), mode="drop")
-    return out[:flat_cap].reshape(b_real, nmax).astype(jnp.uint8)
+    return out[:flat_cap].reshape(b_real, nmax).astype(jnp.uint8), totals
 
 
 def gap_decode_flat(words: jax.Array, count_t: jax.Array,

@@ -15,8 +15,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 BLOCK_AXIS = "blocks"
 
 
-def make_mesh(n_devices: int | None = None, axis_name: str = BLOCK_AXIS) -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: int | None = None, axis_name: str = BLOCK_AXIS,
+              local: bool = False) -> Mesh:
+    """local=True builds the mesh from THIS PROCESS's devices — the
+    per-process dispatch pattern JaxBackend shard_maps over (each process
+    shards its own block stripe; multi-host coordination happens at the
+    parallel/distributed.py layer, not inside a compress dispatch).  A
+    global-device mesh there would make every dispatch a cross-host
+    collective program whose outputs no single host can pull."""
+    devs = jax.local_devices() if local else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis_name,))

@@ -48,6 +48,12 @@ class CodecConfig:
     full_rounds: int = field(default_factory=lambda: _env_int("BMH_FULL_ROUNDS", 4))
     # blocks per device dispatch (models/pipeline.MAX_DISPATCH_BLOCKS)
     max_dispatch: int = field(default_factory=lambda: _env_int("BMH_MAX_DISPATCH", 32))
+    # two-tier sparse refinement shape: full-capacity rounds before the
+    # surviving tied set is re-compacted (tier1_rounds) and the tier-2
+    # capacity divisor (ops/bwt.sparse_refine) — TPU tuning knobs, part of
+    # the compiled compress program's cache key
+    tier1_rounds: int = field(default_factory=lambda: _env_int("BMH_TIER1_ROUNDS", 2))
+    tier2_div: int = field(default_factory=lambda: _env_int("BMH_TIER2_DIV", 4))
     # sparse compact-set capacity = (batch * nmax) / sparse_cap_div; the
     # refinement loop's per-iteration cost is CAP-sized (static shapes), so
     # a deeper full_rounds pairs with a larger divisor (measured corpus
@@ -63,6 +69,12 @@ class CodecConfig:
     # buys no decode time and only costs 4/stride bytes/input byte of
     # container — 4096 is the sweet spot
     cursor_stride: int = field(default_factory=lambda: _env_int("BMH_CURSOR_STRIDE", 4096))
+    # LF²-packed inverse-BWT walk for blocks <= 64 KiB: halves the dependent
+    # gather chain (the decompress roofline) by walking a self-composed LF
+    # map whose entries pack two emitted bytes + a 16-bit next row into one
+    # uint32 (ops/bwt.bwt_inverse_cursors).  Read at trace time — part of
+    # the compiled program, not a per-call switch.
+    lf2: bool = field(default_factory=lambda: _env_bool("BMH_LF2", True))
     # RLE1 pre-BWT run collapse (bzip2-style): applied per block when it
     # strictly shrinks; collapses the long-run inputs that force maximum
     # doubling rounds (Calgary pic) and shrinks them further
@@ -110,6 +122,10 @@ class CodecConfig:
             raise ValueError("inflight must be >= 1")
         if self.sparse_cap_div < 1:
             raise ValueError("sparse_cap_div must be >= 1")
+        if not 1 <= self.tier1_rounds <= 8:
+            raise ValueError("tier1_rounds must be in [1, 8]")
+        if self.tier2_div < 1:
+            raise ValueError("tier2_div must be >= 1")
         return self
 
     def describe(self) -> str:

@@ -185,3 +185,31 @@ def test_forward_cp_ff_runs_near_pad(rng):
         s_ref, l_ref = oracle.bwt(data)
         np.testing.assert_array_equal(np.asarray(last)[:n], l_ref)
         assert int(shift) == s_ref
+
+
+def test_lf2_walk_matches_lf1(rng):
+    """The LF²-packed cursor walk (blocks <= 64 KiB) emits byte-identical
+    output to the plain LF walk, across strides, lengths and periodic-free
+    inputs."""
+    from bmh_tpu.utils import config as config_mod
+
+    for n in [100, 1000, 4095, 4096, 20000, 50000, 65536]:
+        data = rng.integers(0, 200, n).astype(np.uint8)
+        data[0] = 255  # guard: distinct head so the block is aperiodic-ish
+        padded = pad_pow2(data, min_size=256)
+        last, shift, cps, aper = jax.jit(jbwt.bwt_forward_cp)(
+            jnp.asarray(padded), jnp.int32(n))
+        if not bool(aper):
+            continue
+        outs = {}
+        old = config_mod.DEFAULT.lf2
+        try:
+            for lf2 in (False, True):
+                config_mod.DEFAULT.lf2 = lf2
+                walk = jax.jit(lambda l, s, c, nn, _v=lf2:
+                               jbwt.bwt_inverse_cursors(l, s, c, nn))
+                outs[lf2] = np.asarray(walk(last, shift, cps, jnp.int32(n)))
+        finally:
+            config_mod.DEFAULT.lf2 = old
+        np.testing.assert_array_equal(outs[True][:n], data)
+        np.testing.assert_array_equal(outs[True], outs[False])

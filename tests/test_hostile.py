@@ -1,0 +1,190 @@
+"""Hostile-container fuzzing: CRC-valid .bzt files with internally
+inconsistent fields must fail CLOSED — a clean ValueError (or provably
+wrong-length output), never silently wrong bytes of the right length.
+
+The reference's behaviour on any of these is undefined
+(/root/reference/io_utilities.h:40-51 reads attacker-controlled sizes
+straight into allocations and loops); here every case below is pinned.
+Two defence layers are exercised: host-side cross-field validation
+(api._validate_block_info) and the device pipelines' decoded-total
+trailer (models/pipeline._compact_rows_diag + _drain_decompress).
+"""
+
+import numpy as np
+import pytest
+
+from bmh_tpu import api
+from bmh_tpu.utils import container
+
+
+def _mutate_block(blob: bytes, idx: int = 0, **overrides) -> bytes:
+    """Re-pack `blob` with block `idx`'s fields overridden and a FRESH CRC
+    (the attacker model: a writer that lies consistently)."""
+    bs, total, raws = container.unpack_file(blob)
+    stride = container.file_stride(blob)
+    blocks = []
+    for i, raw in enumerate(raws):
+        (orig_len, shift, lens, present, cps, rle_len, payload,
+         pre_len) = container.unpack_block(raw)
+        if i == idx:
+            f = dict(orig_len=orig_len, bwt_shift=shift, lens=lens,
+                     present=present, payload=payload, cps=cps,
+                     rle_len=rle_len, pre_len=pre_len)
+            f.update(overrides)
+            raw = container.pack_block(
+                f["orig_len"], f["bwt_shift"], f["lens"], f["present"],
+                f["payload"], cps=f["cps"], rle_len=f["rle_len"],
+                pre_len=f["pre_len"])
+        blocks.append(raw)
+    return container.pack_file(blocks, bs, total, stride=stride)
+
+
+@pytest.fixture(scope="module")
+def text_blob():
+    rng = np.random.default_rng(7)
+    words = [b"the ", b"quick ", b"brown ", b"fox ", b"lazy ", b"dog ",
+             b"jumps ", b"over "]
+    data = b"".join(words[i] for i in rng.integers(0, 8, 2800))[:12000]
+    blob = api.compress_bytes(data, block_size=16384)  # > stride: cps exist
+    assert api.decompress_bytes(blob) == data  # sanity: the base is valid
+    return data, blob
+
+
+@pytest.fixture(scope="module")
+def periodic_blob():
+    data = b"xyz" * 700  # one exactly periodic block (cps is None)
+    blob = api.compress_bytes(data, block_size=2100)
+    assert api.decompress_bytes(blob) == data
+    _, _, raws = container.unpack_file(blob)
+    assert container.unpack_block(raws[0])[4] is None  # really periodic
+    return data, blob
+
+
+def _fields(blob, idx=0):
+    _, _, raws = container.unpack_file(blob)
+    return container.unpack_block(raws[idx])
+
+
+def test_rle_len_too_large_host_check(text_blob):
+    data, blob = text_blob
+    (orig_len, _, _, _, _, rle_len, _, pre_len) = _fields(blob)
+    bad = _mutate_block(blob, rle_len=pre_len + 5)
+    with pytest.raises(ValueError, match="rle_len"):
+        api.decompress_bytes(bad)
+
+
+def test_rle_len_lying_small_device_totals(text_blob):
+    """rle_len passes the host range check but truncates the symbol stream:
+    the device decoded-total trailer catches it."""
+    data, blob = text_blob
+    (_, _, _, _, _, rle_len, _, _) = _fields(blob)
+    assert rle_len > 4
+    bad = _mutate_block(blob, rle_len=rle_len - 3)
+    with pytest.raises(ValueError, match="corrupt"):
+        api.decompress_bytes(bad)
+
+
+def test_rle_len_one_device_totals(text_blob):
+    data, blob = text_blob
+    bad = _mutate_block(blob, rle_len=1)
+    with pytest.raises(ValueError, match="corrupt"):
+        api.decompress_bytes(bad)
+
+
+def test_truncated_cps(text_blob):
+    data, blob = text_blob
+    (_, _, _, _, cps, _, _, _) = _fields(blob)
+    if cps is None or len(cps) == 0:
+        pytest.skip("base block has no checkpoints at this stride")
+    bad = _mutate_block(blob, cps=cps[:-1])
+    with pytest.raises(ValueError, match="checkpoint"):
+        api.decompress_bytes(bad)
+
+
+def test_oversized_cps(text_blob):
+    data, blob = text_blob
+    (_, _, _, _, cps, _, _, _) = _fields(blob)
+    extra = np.concatenate([np.asarray(cps if cps is not None else [],
+                                       dtype=np.int32),
+                            np.arange(40, dtype=np.int32)])
+    bad = _mutate_block(blob, cps=extra)
+    with pytest.raises(ValueError, match="checkpoint"):
+        api.decompress_bytes(bad)
+
+
+def test_cps_value_out_of_range(text_blob):
+    data, blob = text_blob
+    (_, _, _, _, cps, _, _, pre_len) = _fields(blob)
+    if cps is None or len(cps) == 0:
+        pytest.skip("base block has no checkpoints at this stride")
+    cc = np.asarray(cps, dtype=np.int32).copy()
+    cc[0] = pre_len + 10
+    bad = _mutate_block(blob, cps=cc)
+    with pytest.raises(ValueError, match="checkpoint"):
+        api.decompress_bytes(bad)
+
+
+def test_kraft_violation(text_blob):
+    data, blob = text_blob
+    (_, _, lens, present, _, _, _, _) = _fields(blob)
+    lens2 = np.asarray(lens, dtype=np.uint8).copy()
+    sym = int(np.nonzero(np.asarray(present))[0][0])
+    lens2[sym] += 1  # over-full/under-full code
+    bad = _mutate_block(blob, lens=lens2)
+    with pytest.raises(ValueError, match="Kraft|corrupt"):
+        api.decompress_bytes(bad)
+
+
+def test_zero_length_present_symbol(text_blob):
+    data, blob = text_blob
+    (_, _, lens, present, _, _, _, _) = _fields(blob)
+    lens2 = np.asarray(lens, dtype=np.uint8).copy()
+    sym = int(np.nonzero(np.asarray(present))[0][0])
+    lens2[sym] = 0
+    bad = _mutate_block(blob, lens=lens2)
+    with pytest.raises(ValueError, match="length 0|Kraft|corrupt"):
+        api.decompress_bytes(bad)
+
+
+def test_truncated_payload(text_blob):
+    data, blob = text_blob
+    (_, _, _, _, _, _, payload, _) = _fields(blob)
+    bad = _mutate_block(blob, payload=payload[: len(payload) // 2])
+    with pytest.raises(ValueError, match="corrupt"):
+        api.decompress_bytes(bad)
+
+
+def test_orig_len_exceeds_block_size(text_blob):
+    data, blob = text_blob
+    bad = _mutate_block(blob, orig_len=1 << 20, pre_len=1 << 20)
+    with pytest.raises(ValueError, match="corrupt|orig_len"):
+        api.decompress_bytes(bad)
+
+
+def test_shift_out_of_range(text_blob):
+    data, blob = text_blob
+    (_, _, _, _, _, _, _, pre_len) = _fields(blob)
+    bad = _mutate_block(blob, bwt_shift=pre_len + 3)
+    with pytest.raises(ValueError, match="shift"):
+        api.decompress_bytes(bad)
+
+
+def test_periodic_block_lying_rle_len(periodic_blob):
+    """The periodic device route carries the same decoded-total trailer."""
+    data, blob = periodic_blob
+    (_, _, _, _, _, rle_len, _, _) = _fields(blob)
+    assert rle_len > 3
+    bad = _mutate_block(blob, rle_len=rle_len - 2)
+    with pytest.raises(ValueError, match="corrupt"):
+        api.decompress_bytes(bad)
+
+
+def test_garbage_payload_bits(text_blob):
+    """Payload bytes replaced wholesale (fresh CRC): the decode desyncs and
+    the decoded total cannot land on the block length for this case."""
+    data, blob = text_blob
+    (_, _, _, _, _, _, payload, _) = _fields(blob)
+    garbage = bytes((b ^ 0x5A) for b in payload)
+    bad = _mutate_block(blob, payload=garbage)
+    with pytest.raises(ValueError, match="corrupt"):
+        api.decompress_bytes(bad)

@@ -234,11 +234,11 @@ def fused_rle0_decode(code_blocks: list[np.ndarray], chunk_bits: int,
         m_arr[i] = ms[i]
         n_arr[i] = ns[i]
         c0 += nc_b
-    out = jhuf.gap_decode_rle0_flat(
+    out, totals = jhuf.gap_decode_rle0_flat(
         jnp.asarray(words), jnp.asarray(count_t), jnp.asarray(seg_start),
         jnp.asarray(seg_start_idx), jnp.asarray(seg_id), jnp.asarray(sym_tbl),
         jnp.asarray(m_arr), jnp.asarray(n_arr), nmax, chunk_bits, maxl=maxl)
-    return np.asarray(out)
+    return np.asarray(out), np.asarray(totals)
 
 
 def _mtf_code_cases(rng):
@@ -266,10 +266,13 @@ def test_gap_decode_rle0_flat_matches_inputs(rng, place):
     old = config_mod.DEFAULT.decode_place
     try:
         config_mod.DEFAULT.decode_place = place
-        out = fused_rle0_decode(blocks, chunk_bits=256, nmax=nmax)
+        out, totals = fused_rle0_decode(blocks, chunk_bits=256, nmax=nmax)
     finally:
         config_mod.DEFAULT.decode_place = old
     assert out.shape[0] >= len(blocks)
     for i, codes in enumerate(blocks):
         np.testing.assert_array_equal(out[i, :codes.size], codes)
         assert (out[i, codes.size:] == 0).all()
+        # the integrity trailer: a well-formed stream's decoded total is
+        # exactly the block length
+        assert int(totals[i]) == codes.size

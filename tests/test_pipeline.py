@@ -98,3 +98,23 @@ def test_compact_upload_inflate_path(rng):
     assert blobs_u == blobs_p
     for d, b in zip(datas, blobs_u):
         assert api.decompress_bytes(b) == d
+
+
+def test_periodic_stream_uses_device_path(monkeypatch):
+    """A fully periodic stream ("abc"*N — RLE1 cannot collapse it, every
+    block is exactly periodic so cursor checkpoints are undefined) must
+    round-trip through the DEVICE periodic route, never the sequential
+    pure-Python oracle (~0.1 MB/s, the round-4 cliff)."""
+    from bmh_tpu.models import oracle as oracle_mod
+
+    def boom(*a, **k):
+        raise AssertionError("oracle.decompress_block used on the jax path")
+
+    monkeypatch.setattr(oracle_mod, "decompress_block", boom)
+    data = b"abc" * 16384  # 49152 B; blocks of 12288 = 3*4096, each periodic
+    blob = compress_bytes(data, block_size=12288)
+    from bmh_tpu.utils import container as C
+
+    _, _, raws = C.unpack_file(blob)
+    assert any(C.unpack_block(r)[4] is None for r in raws)  # periodic blocks
+    assert decompress_bytes(blob) == data

@@ -261,7 +261,7 @@ def main(block_size=131072):
     gdr = jax.jit(lambda w, ct, ss, ssi, si, st, m, n:
                   ops_huf.gap_decode_rle0_flat(
                       w, ct, ss, ssi, si, st, m, n, nmax,
-                      P.DECODE_CHUNK_BITS, maxl))
+                      P.DECODE_CHUNK_BITS, maxl)[0])
     t, codes_dec = timeit(gdr, a_words, a_count, args[2], args[3], args[4],
                           a_sym, args[5], args[6])
     res["gap_decode_rle0_fused"] = t  # the production r4 path
