@@ -266,14 +266,17 @@ def decode_tables_device(lens: jax.Array) -> tuple[jax.Array, jax.Array]:
 def histogram(data: jax.Array, n: jax.Array, bins: int = ALPHABET) -> jax.Array:
     """Masked histogram (reference: main.cpp:235-237).
 
-    Compare-and-reduce instead of scatter-add: a (bins, N) streaming compare
-    fuses into a single VPU reduction, ~40x faster than TPU scatter.
+    Sort + bin-edge search: pads take a sentinel bin, one unstable sort
+    orders the symbols, and count[k] is the difference of adjacent
+    searchsorted edges — ~5 ms/corpus-pass cheaper than the previous
+    (bins, N) compare-and-reduce, which itself replaced TPU scatter-add
+    (tools/microbench_r5.py hist_mask vs hist_sort).
     """
     pos = jnp.arange(data.shape[0], dtype=jnp.int32)
-    valid = pos < n
-    sym = data.astype(jnp.int32)
-    b = jnp.arange(bins, dtype=jnp.int32)[:, None]
-    return jnp.sum((sym[None, :] == b) & valid[None, :], axis=1, dtype=jnp.int32)
+    sym = jnp.where(pos < n, data.astype(jnp.int32), bins)
+    srt = jax.lax.sort(sym, is_stable=False)
+    edges = jnp.searchsorted(srt, jnp.arange(bins + 1, dtype=jnp.int32))
+    return jnp.diff(edges).astype(jnp.int32)
 
 
 def words_cap(nmax: int) -> int:
