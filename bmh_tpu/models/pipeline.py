@@ -279,7 +279,17 @@ def _pack_meta(bits, nw, shifts, ms, aper, lens, freqs, cps):
     return jnp.concatenate([head, pw, lw, cps.astype(jnp.int32)], axis=1)
 
 
-def _compress_core(data, ns, b: int, nmax: int, hard: bool):
+def _merge_out(flat, meta):
+    """[meta | payload] as ONE uint32 stream, so the single-device drain
+    can fetch the metadata AND (a bound on) the payload in ONE tunnel pull
+    (~23 ms of pure round-trip latency per pull; VERDICT r4 item 1's
+    budget).  Meta values are non-negative int32 -> bitcast is lossless."""
+    return jnp.concatenate([
+        jax.lax.bitcast_convert_type(meta, jnp.uint32).reshape(-1), flat])
+
+
+def _compress_core(data, ns, b: int, nmax: int, hard: bool,
+                   merged: bool = False):
     """The whole batched compress as one traced program.
 
     hard=True: run-dominated blocks — classic fused full-rounds program
@@ -289,13 +299,15 @@ def _compress_core(data, ns, b: int, nmax: int, hard: bool):
     then the fused finish/encode/flatten tail.  No host decision points.
 
     Returns (flat (B*W,) uint32 compacted payload words, meta (B, meta_cols)
-    int32 — see _pack_meta).
+    int32 — see _pack_meta); with merged=True, one (B*meta_cols + B*W,)
+    uint32 array [meta | flat] instead (see _merge_out).
     """
     if hard:
         words, bits, lens, freqs, ms, shifts, cps, aper = jax.vmap(
             compress_full_fn)(data, ns)
         flat, nw, _ = _flatten_payloads(words, bits)
-        return flat, _pack_meta(bits, nw, shifts, ms, aper, lens, freqs, cps)
+        meta = _pack_meta(bits, nw, shifts, ms, aper, lens, freqs, cps)
+        return _merge_out(flat, meta) if merged else (flat, meta)
 
     m_cap = _sparse_cap(b, nmax)
     rank, tied, h, done, cnt = jax.vmap(
@@ -323,12 +335,14 @@ def _compress_core(data, ns, b: int, nmax: int, hard: bool):
     words, bits, lens, freqs, ms, shifts, cps, aper = jax.vmap(
         compress_finish_full_fn)(data, ns, rank)
     flat, nw, _ = _flatten_payloads(words, bits)
-    return flat, _pack_meta(bits, nw, shifts, ms, aper, lens, freqs, cps)
+    meta = _pack_meta(bits, nw, shifts, ms, aper, lens, freqs, cps)
+    return _merge_out(flat, meta) if merged else (flat, meta)
 
 
 @functools.lru_cache(maxsize=128)
 def _batched_full(nmax: int, batch: int):
-    return jax.jit(lambda data, ns: _compress_core(data, ns, batch, nmax, True))
+    return jax.jit(lambda data, ns: _compress_core(data, ns, batch, nmax,
+                                                   True, merged=True))
 
 
 @functools.lru_cache(maxsize=128)
@@ -435,8 +449,10 @@ def _batched_compress_one_dispatch(nmax: int, batch: int,
                                    tiers: tuple = (2, 4)):
     """The WHOLE compress for a batch as ONE jitted program (see
     _compress_core) — the two mid-compress host syncs of the split
-    formulation (~25 ms tunnel round trip each) disappear."""
-    return jax.jit(lambda data, ns: _compress_core(data, ns, batch, nmax, False))
+    formulation (~25 ms tunnel round trip each) disappear.  Output is the
+    merged [meta | payload] stream (one drain pull)."""
+    return jax.jit(lambda data, ns: _compress_core(data, ns, batch, nmax,
+                                                   False, merged=True))
 
 
 # ---------------------------------------------------------------------------
@@ -658,19 +674,43 @@ def _stage_flat_np(blocks: list[dict], idxs: list[int]):
             shifts, nc, maxl, b_pad)
 
 
+def _payload_bound_words(ns) -> int:
+    """Speculative payload pull size for the merged [meta | payload] drain.
+
+    The bound trades over-pull bytes against a saved ~23 ms pull latency:
+    at the tunnel's ~24-37 MB/s, every MB of overshoot costs 27-42 ms, so
+    the bound must sit just above the TYPICAL batch ratio, not the worst
+    case.  Multi-file corpus batches compress to ~0.30x; 0.35x covers them
+    with ~9% overshoot, and a batch compressing above it (Calgary: geo,
+    obj-heavy single-file batches) pays one exact top-up pull — i.e.
+    exactly the old two-pull cost."""
+    return int(ns.sum()) * 7 // 80 + 64  # 0.35 * bytes / 4 bytes-per-word
+
+
 def _drain_compress(entry, results, annotate):
     """Pull one pending compress dispatch's outputs and assemble per-block
     result dicts.
 
-    TWO tunnel round trips per batch: the (B, meta_cols) int32 meta matrix
-    (every per-block field — see _pack_meta) and the compacted payload
-    words (~ the compressed size).  The previous ten split pulls cost
-    ~23 ms of tunnel latency EACH (TRACE_r04: 230 ms/pass of pure pull
-    latency on a 289 ms-device compress)."""
-    idxs, ns, out, ndev = entry
+    Single-device dispatches return the merged [meta | payload] uint32
+    stream: ONE tunnel round trip fetches the meta matrix plus a
+    0.6x-input-size payload bound (each pull costs ~23 ms of pure
+    latency — TRACE_r04 measured ten split pulls at 230 ms/pass); only a
+    batch compressing above the bound pays a second, exactly-sized pull.
+    Sharded dispatches keep the (flat, meta) pair: per-device regions must
+    be pulled separately anyway."""
+    idxs, ns, out, ndev, nmax = entry
     with annotate("compress_assemble"):
-        flat, meta = out
-        meta_np = np.asarray(meta)  # pull 1
+        if ndev == 1:
+            b_pad = _next_pow2(len(idxs))
+            cols = meta_cols(nmax)
+            msize = b_pad * cols
+            k0 = min(_payload_bound_words(ns),
+                     int(out.shape[0]) - msize)
+            head = np.asarray(out[: msize + k0])  # pull 1 (usually the only)
+            meta_np = head[:msize].view(np.int32).reshape(b_pad, cols)
+        else:
+            flat, meta = out
+            meta_np = np.asarray(meta)  # pull 1
         bits_np = meta_np[:, 0]
         nw_np = meta_np[:, 1]
         shifts_np = meta_np[:, 2]
@@ -700,7 +740,13 @@ def _drain_compress(entry, results, annotate):
                         + base[:, None]).reshape(-1)
         else:
             woffs_np = np.cumsum(nw_np) - nw_np
-            flat_np = np.asarray(flat[: int(nw_np.sum())]).astype(">u4")  # pull 2
+            total_w = int(nw_np.sum())
+            if total_w <= k0:
+                flat_np = head[msize: msize + total_w].astype(">u4")
+            else:
+                # payload exceeded the speculative bound: one exact top-up
+                tail = np.asarray(out[msize + k0: msize + total_w])
+                flat_np = np.concatenate([head[msize:], tail]).astype(">u4")
 
         for row, i in enumerate(idxs):
             tb = int(bits_np[row])
@@ -801,7 +847,7 @@ class JaxBackend:
               else:
                 out = _batched_compress_one_dispatch(
                     nmax, b_pad, _tier_key())(batch_j, ns_j)
-            pending.append((idxs, ns, out, ndev))
+            pending.append((idxs, ns, out, ndev, nmax))
             # bound the in-flight dispatch window: with hundreds of batches
             # (a 1 GiB stream is 256), an unbounded pending list pins every
             # batch's padded outputs in HBM at once (measured: 1 GiB
