@@ -169,10 +169,12 @@ def _batched_resume(nmax: int, batch: int):
     return jax.jit(jax.vmap(f))
 
 
-def _sparse_refine_compact(rank, tied, ns, b: int, nmax: int, m_cap: int):
+def _sparse_refine_compact(rank, tied, ns, b: int, nmax: int, m_cap: int,
+                           h0=None):
     """Device-side compaction + sparse refinement: the tied mask never
     leaves the device (a (B, nmax) mask pull costs ~100 ms through the
-    tunnel)."""
+    tunnel).  h0 is the gap the doubling rounds handed off at — a traced
+    scalar under the adaptive continuation, _SPARSE_H0 otherwise."""
     flat = tied.reshape(-1) != 0
     if b * nmax <= (1 << 23):
         # compaction by ONE packed single-array sort: tied positions
@@ -191,17 +193,24 @@ def _sparse_refine_compact(rank, tied, ns, b: int, nmax: int, m_cap: int):
     pos = idx - blk * nmax
     nb = ns[jnp.clip(blk, 0, b - 1)]
     # hm0 = h0 mod nb by binary conditional subtraction: the quotient is
-    # <= h0 (nb >= 1), so subtracting nb * {32,16,8,4,2,1} suffices and
-    # avoids the ~35ms-per-786K software integer `%` lowering
-    hm = jnp.full(m_cap, _SPARSE_H0, dtype=jnp.int32)
+    # <= h0 (nb >= 1), so subtracting nb * {nmax/2, ..., 2, 1} suffices
+    # and avoids the ~35ms-per-786K software integer `%` lowering.  The
+    # static unroll bound is nmax (not _SPARSE_H0) because the adaptive
+    # continuation can hand off at any h0 <= nmax.
+    if h0 is None:
+        h0 = jnp.int32(_SPARSE_H0)
+    hm = jnp.full(m_cap, 0, dtype=jnp.int32) + h0
     q = 1
-    while q * 2 <= _SPARSE_H0:
+    while q * 2 <= nmax:
         q *= 2
     while q >= 1:
-        hm = jnp.where(hm >= nb * q, hm - nb * q, hm)
+        # nb*q overflows int32 once q approaches nmax (nb can be ~2^21);
+        # such products can never be <= hm <= nmax anyway, so mask them to
+        # int32-max instead of comparing against the wrapped value
+        prod = jnp.where(nb <= nmax // q, nb * q, jnp.int32(2**31 - 1))
+        hm = jnp.where(hm >= prod, hm - prod, hm)
         q //= 2
-    return ops_bwt.sparse_refine(rank, blk, pos, hm, ns,
-                                 jnp.int32(_SPARSE_H0),
+    return ops_bwt.sparse_refine(rank, blk, pos, hm, ns, h0,
                                  tier1_rounds=config_mod.DEFAULT.tier1_rounds,
                                  tier2_div=config_mod.DEFAULT.tier2_div)
 
@@ -315,17 +324,47 @@ def _compress_core(data, ns, b: int, nmax: int, hard: bool,
             *ops_bwt.bwt_rounds(d, n, _SPARSE_H0)))(data, ns)
     total_tied = jnp.sum(cnt)
 
+    # ADAPTIVE HANDOFF: keep running cheap full-array doubling rounds (one
+    # batch-level round ≈ 9 ms) while the batch's tie total still exceeds
+    # the sparse compact capacity, then hand the (now small) set to the
+    # compact refinement at whatever gap h_s the loop reached.  Text-heavy
+    # batches (enwik-like streams: 370-690K tied at the corpus-tuned 262K
+    # cap) previously fell all the way back to full resume (~250 ms); a
+    # 4x-capacity compact tier was measured even WORSE (~2x resume) —
+    # capacity-sized gather/scatter rounds lose to XLA's full-array sorts.
+    # Blocks whose h stopped early (done) are re-roundable no-ops.
+    def cont_cond(st):
+        _, _, h_s, tt = st
+        return jnp.logical_and(tt > m_cap, h_s < nmax)
+
+    def cont_body(st):
+        rank, tied, h_s, _ = st
+
+        def one(r, t, n):
+            r2, t2, _, _ = ops_bwt.round_step(r, t, h_s, n)
+            return r2, t2
+
+        rank, tied = jax.vmap(one)(rank, tied, ns)
+        return rank, tied, h_s * 2, jnp.sum(tied)
+
+    rank, tied, h_s, total_tied = jax.lax.while_loop(
+        cont_cond, cont_body,
+        (rank, tied, jnp.int32(_SPARSE_H0), total_tied))
+
     def sparse_branch(args):
         rank, tied, ns = args
-        return _sparse_refine_compact(rank, tied, ns, b, nmax, m_cap)
+        return _sparse_refine_compact(rank, tied, ns, b, nmax, m_cap,
+                                      h0=h_s)
 
     def resume_branch(args):
+        # unreachable except for h_s >= nmax with residual ties (exactly
+        # periodic blocks) — by then doubling has covered the whole block
+        # and ranks are final, so this is an immediate-exit loop
         rank, _, ns = args
 
         def rr(r, n):
             r2, _, _, _ = ops_bwt.bwt_rounds_resume(
-                r, jnp.zeros_like(r), jnp.int32(_SPARSE_H0),
-                jnp.bool_(False), n)
+                r, jnp.zeros_like(r), h_s, jnp.bool_(False), n)
             return r2
 
         return jax.vmap(rr)(rank, ns)
@@ -379,13 +418,13 @@ def _sparse_ranks(batch_j, ns_j, ns_np):
               f"cap={_sparse_cap(b_pad, nmax)}", file=sys.stderr, flush=True)
     if m_true:
         if m_true > _sparse_cap(b_pad, nmax):
-            # run-dominated batch: the compact set would not fit the static
-            # capacity; resume classic full rounds to convergence instead
+            # over-capacity batch: resume classic full rounds (the split
+            # path is test/profiler plumbing; the production one-dispatch
+            # program instead runs the adaptive handoff in _compress_core)
             rank = _batched_resume(nmax, b_pad)(rank, ns_j)
         else:
             rank = _sparse_fn(b_pad, nmax, _sparse_cap(b_pad, nmax),
-                              _tier_key())(
-                rank, tied, ns_j)
+                              _tier_key())(rank, tied, ns_j)
     return rank
 
 

@@ -187,6 +187,20 @@ def bwt_rounds(data: jax.Array, n: jax.Array, h_stop: int | None = None):
     return jax.lax.while_loop(cond, lambda s: _round_body(s, n, nmax), state)
 
 
+def round_step(rank: jax.Array, tied: jax.Array, h: jax.Array,
+               n: jax.Array):
+    """Exactly ONE prefix-doubling round from (rank, tied) at gap h.
+
+    The adaptive-handoff continuation (models/pipeline._compress_core) runs
+    these one at a time at the batch level while the batch's tie total
+    still exceeds the sparse compact capacity — full-array sort rounds are
+    ~9 ms each, an order cheaper than capacity-sized compact refinement at
+    high tie counts (measured: a 4x-capacity compact tier cost ~2x a full
+    resume on text batches).  Returns (rank, tied, 2h, done)."""
+    nmax = rank.shape[0]
+    return _round_body((rank, tied, h, jnp.bool_(False)), n, nmax)
+
+
 def bwt_rounds_resume(rank: jax.Array, tied: jax.Array, h: jax.Array,
                       done: jax.Array, n: jax.Array,
                       h_stop: int | None = None):

@@ -213,3 +213,27 @@ def test_lf2_walk_matches_lf1(rng):
             config_mod.DEFAULT.lf2 = old
         np.testing.assert_array_equal(outs[True][:n], data)
         np.testing.assert_array_equal(outs[True], outs[False])
+
+
+def test_sparse_compact_hm_no_overflow(rng):
+    """Regression: the hm0 conditional-subtract ladder masks nb*q products
+    that overflow int32 (nb ~ n, q up to nmax) — unmasked, the wrapped
+    negative product falsely triggered subtraction and corrupted the
+    handoff gap for single-block odd-length batches (paper1/progc)."""
+    from bmh_tpu.models import pipeline as P
+
+    nmax = 65536
+    n = 53161  # odd length, nb * nmax > 2^31
+    data = rng.integers(0, 64, n).astype(np.uint8)
+    pad = np.zeros(nmax, np.uint8)
+    pad[:n] = data
+    a = jnp.asarray(pad)[None, :]
+    ns = jnp.asarray([n], jnp.int32)
+    rank_full, _, _, _ = jax.jit(jbwt.bwt_rounds)(jnp.asarray(pad),
+                                                  jnp.int32(n))
+    rank, tied, h, done, cnt = P._batched_rounds(nmax, 1)(a, ns)
+    ref = P._sparse_refine_compact(rank, tied, ns, 1, nmax,
+                                   P._sparse_cap(1, nmax),
+                                   h0=jnp.int32(32))
+    np.testing.assert_array_equal(np.asarray(ref[0])[:n],
+                                  np.asarray(rank_full)[:n])
