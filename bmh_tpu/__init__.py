@@ -39,7 +39,7 @@ from .api import (  # noqa: E402
 )
 from .utils.container import DEFAULT_BLOCK_SIZE  # noqa: E402
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "compress_bytes",
