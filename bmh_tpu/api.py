@@ -174,6 +174,17 @@ def _validate_block_info(orig_len: int, pre_len: int, rle_len: int,
         if int(plens[0]) != 0 or payload:
             raise ValueError("corrupt block: single-symbol block must have "
                              "length 0 and empty payload")
+        # a single-present-symbol stream is rle_len copies of s, so its
+        # decoded length is closed-form: run digits (s<=1) decode to
+        # (1+s)*(2^m - 1) bytes, a repeated literal to m bytes — the
+        # single-symbol decode path has no device totals trailer, so this
+        # is its lying-rle_len check (Python ints: 2^m may be huge)
+        s = int(np.nonzero(present)[0][0])
+        want = (1 + s) * ((1 << min(rle_len, 40)) - 1) if s <= 1 else rle_len
+        if want != pre_len:
+            raise ValueError(
+                f"corrupt block: single-symbol stream of {rle_len} x "
+                f"symbol {s} decodes to {want} bytes, expected {pre_len}")
         return
     if (plens == 0).any():
         raise ValueError("corrupt block: present symbol with code length 0")

@@ -188,3 +188,15 @@ def test_garbage_payload_bits(text_blob):
     bad = _mutate_block(blob, payload=garbage)
     with pytest.raises(ValueError, match="corrupt"):
         api.decompress_bytes(bad)
+
+
+def test_single_symbol_lying_rle_len():
+    """Single-symbol blocks have no device totals trailer; the host-side
+    closed-form check must catch a lying rle_len."""
+    data = b"\x00" * 3  # RLE0 stream = 2 x RUNA, decodes to 3 bytes
+    blob = api.compress_bytes(data, block_size=2048)
+    assert api.decompress_bytes(blob) == data
+    (_, _, _, _, _, rle_len, _, _) = _fields(blob)
+    bad = _mutate_block(blob, rle_len=rle_len + 1)
+    with pytest.raises(ValueError, match="single-symbol|corrupt"):
+        api.decompress_bytes(bad)
