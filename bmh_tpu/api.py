@@ -198,6 +198,10 @@ def _validate_block_info(orig_len: int, pre_len: int, rle_len: int,
 
 def decompress_bytes(buf: bytes, backend: str = "jax") -> bytes:
     block_size, total_size, raw_blocks = container.unpack_file(buf)
+    # the DECODE side must apply the codec envelope too: a hostile header
+    # claiming a multi-GB block_size would otherwise reach device dispatch
+    # as a giant allocation / unhandled jit OverflowError, not a clean error
+    _validate_block_size(block_size)
     stride = container.file_stride(buf)
     infos = []
     raw_lens = []
@@ -279,6 +283,7 @@ def decompress_many(bufs: list[bytes], backend: str = "jax",
     max_block = 0
     for buf in bufs:
         bs, total, raw_blocks = container.unpack_file(buf)
+        _validate_block_size(bs)  # decode-side envelope (see decompress_bytes)
         stride = container.file_stride(buf)
         max_block = max(max_block, bs)
         spans.append((len(infos), len(raw_blocks), total))
@@ -294,7 +299,12 @@ def decompress_many(bufs: list[bytes], backend: str = "jax",
     if not infos:
         parts = []
     elif uniform and be.name == "jax":
-        parts = be.decompress_blocks(infos, bucket=max_block)
+        from .models.pipeline import _bucket
+
+        # round the shared bucket to a power of two: a non-pow2 file
+        # block_size (which compress_many accepts — ITS bucket is rounded)
+        # would otherwise reach the device kernels' pow2 shape asserts
+        parts = be.decompress_blocks(infos, bucket=_bucket(max_block))
     else:
         parts = be.decompress_blocks(infos)
     out = []

@@ -659,7 +659,8 @@ def _decode_flat_periodic(nc: int, nmax: int, batch: int, chunk_bits: int,
             ms, nmax, chunk_bits, maxl)
         b_real = shifts.shape[0]
         totals = jax.vmap(ops_rle.rle0_decoded_len)(syms[:b_real],
-                                                    ms[:b_real])
+                                                    ms[:b_real],
+                                                    ns[:b_real])
         data = jax.vmap(decompress_stage2_fn)(syms[:b_real], ms[:b_real],
                                               shifts, ns[:b_real])
         return _compact_rows_diag(data, ns[:b_real], totals)
@@ -732,7 +733,7 @@ def _drain_compress(entry, results, annotate):
 
     Single-device dispatches return the merged [meta | payload] uint32
     stream: ONE tunnel round trip fetches the meta matrix plus a
-    0.6x-input-size payload bound (each pull costs ~23 ms of pure
+    0.35x-input-size payload bound (each pull costs ~23 ms of pure
     latency — TRACE_r04 measured ten split pulls at 230 ms/pass); only a
     batch compressing above the bound pays a second, exactly-sized pull.
     Sharded dispatches keep the (flat, meta) pair: per-device regions must
@@ -845,7 +846,7 @@ class JaxBackend:
     def compress_blocks(self, blocks: list[np.ndarray],
                         bucket: int | None = None) -> list[dict]:
         """bucket: force one padded size for every block (fewer compiled
-        shapes; dispatches are still capped at MAX_DISPATCH_BLOCKS blocks,
+        shapes; dispatches are still capped at config.max_dispatch blocks,
         so a large multi-stream batch runs as a short sequence of
         fixed-shape dispatches)."""
         results: list[dict | None] = [None] * len(blocks)

@@ -538,9 +538,25 @@ def gap_decode_rle0_flat(words: jax.Array, count_t: jax.Array,
 
     # exact decoded total per block: at each block's LAST chunk, the carry
     # into the chunk plus the chunk's own contribution sum (one tiny
-    # (NC,)-sized scatter; each block has exactly one last chunk)
+    # (NC,)-sized scatter; each block has exactly one last chunk).
+    #
+    # WRAP DEFENSE (int32-only; jnp int64 silently downcasts without
+    # jax_enable_x64): a hostile payload can pack enough max-size run
+    # contributions that the int32 prefix sum wraps mod 2^32 back onto the
+    # expected total.  But each contribution is <= 3*2^22, so crossing any
+    # multiple of 2^32 necessarily leaves an intermediate inclusive prefix
+    # in [2^31 - 2^24, 2^31) — a large POSITIVE int32 far above any valid
+    # block length.  Checking the segmented MAX of the inclusive prefixes
+    # against ns therefore catches every wrap; wrapped blocks poison their
+    # trailer total to ns+1 so the host check fails closed.
+    incl = cs + carry_sum[None, :]
+    pc_max = jnp.max(jnp.where(keep, incl, -1), axis=0)        # (NC,)
+    carry_max2 = _seg_scan_chunks(pc_max, seg_start, "max", -1)
+    blk_max = jnp.maximum(carry_max2, pc_max)
     is_last = jnp.concatenate([seg_start[1:], jnp.ones(1, dtype=seg_start.dtype)])
-    chunk_tot = carry_sum + cs[-1]
+    ns_c = ns[seg_id]
+    chunk_tot = jnp.where(blk_max <= ns_c, carry_sum + cs[-1],
+                          jnp.where(ns_c < jnp.int32(2**31 - 1), ns_c + 1, 0))
     totals = jnp.zeros(b, dtype=jnp.int32).at[
         jnp.where(is_last, seg_id, b)].set(chunk_tot, mode="drop")[:b_real]
 

@@ -85,7 +85,8 @@ def rle0_encode(codes: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]:
     return out[:nmax], m
 
 
-def rle0_decoded_len(syms: jax.Array, m: jax.Array) -> jax.Array:
+def rle0_decoded_len(syms: jax.Array, m: jax.Array,
+                     n: jax.Array | None = None) -> jax.Array:
     """Exact decoded length of an RLE0 symbol stream (first m of syms).
 
     The integrity counterpart of `rle0_decode`: a container whose `rle_len`
@@ -93,7 +94,13 @@ def rle0_decoded_len(syms: jax.Array, m: jax.Array) -> jax.Array:
     block length, and the decompress paths compare this total against `n`
     to fail closed instead of returning silently wrong bytes of the right
     length (the reference's equivalent corruption is undefined behaviour,
-    /root/reference/io_utilities.h:40-51)."""
+    /root/reference/io_utilities.h:40-51).
+
+    With `n` given, the result is wrap-proof in pure int32 (jnp int64
+    silently downcasts without x64): a hostile stream whose prefix sum
+    wraps mod 2^32 must pass through an intermediate inclusive prefix in
+    [2^31 - 2^27, 2^31) — far above any valid n — so the max prefix is
+    checked and wrapped streams return the poison value n+1."""
     nmax = syms.shape[0]
     pos = jnp.arange(nmax, dtype=jnp.int32)
     valid = pos < m
@@ -104,7 +111,13 @@ def rle0_decoded_len(syms: jax.Array, m: jax.Array) -> jax.Array:
     start_pos = jax.lax.cummax(jnp.where(grp_start, pos, -1))
     j = jnp.clip(pos - start_pos, 0, MAX_LOG)
     contrib = jnp.where(valid, jnp.where(isrun, (1 + s) << j, 1), 0)
-    return jnp.sum(contrib).astype(jnp.int32)
+    incl = jnp.cumsum(contrib)
+    total = jnp.sum(contrib).astype(jnp.int32)
+    if n is None:
+        return total
+    maxv = jnp.max(jnp.where(valid, incl, -1))
+    poison = jnp.where(n < jnp.int32(2**31 - 1), n + 1, 0)
+    return jnp.where(maxv <= n, total, poison).astype(jnp.int32)
 
 
 def rle0_decode(syms: jax.Array, m: jax.Array, n: jax.Array) -> jax.Array:

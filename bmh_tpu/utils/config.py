@@ -46,7 +46,7 @@ class CodecConfig:
     # the remaining tied positions (ops/bwt.py sparse_refine); measured on
     # Calgary, text leaves ~1-5% of positions tied after 4 rounds
     full_rounds: int = field(default_factory=lambda: _env_int("BMH_FULL_ROUNDS", 4))
-    # blocks per device dispatch (models/pipeline.MAX_DISPATCH_BLOCKS)
+    # blocks per device dispatch (models/pipeline._chunks, read at call time)
     max_dispatch: int = field(default_factory=lambda: _env_int("BMH_MAX_DISPATCH", 32))
     # two-tier sparse refinement shape: full-capacity rounds before the
     # surviving tied set is re-compacted (tier1_rounds) and the tier-2

@@ -200,3 +200,42 @@ def test_single_symbol_lying_rle_len():
     bad = _mutate_block(blob, rle_len=rle_len + 1)
     with pytest.raises(ValueError, match="single-symbol|corrupt"):
         api.decompress_bytes(bad)
+
+
+def test_hostile_block_size_header():
+    """A header claiming a multi-GB block_size must fail the envelope check
+    cleanly, not reach device dispatch as a giant allocation."""
+    data = b"hello world " * 100
+    blob = api.compress_bytes(data, block_size=2048)
+    bs, total, raws = container.unpack_file(blob)
+    bad = container.pack_file(raws, 1 << 30, total)
+    with pytest.raises(ValueError, match="block_size"):
+        api.decompress_bytes(bad)
+    with pytest.raises(ValueError, match="block_size"):
+        api.decompress_many([bad])
+
+
+def test_decoded_len_sum_cannot_wrap_int32():
+    """A hostile RLE0 stream whose int32 prefix sum wraps mod 2^32 must
+    poison the total (max-prefix defense), never alias a plausible value.
+    The wrapped int32 sum of this stream is 402,653,182 — without the
+    defense an attacker tuning digit counts can land any target."""
+    import jax.numpy as jnp
+
+    from bmh_tpu.ops import rle
+
+    m = 60  # 60 RUNB digits in one group: contributions reach 2^27 each
+    syms = jnp.ones(256, jnp.int32)
+    n = jnp.int32(402653182)  # exactly the wrapped int32 alias
+    total = int(rle.rle0_decoded_len(syms, jnp.int32(m), n))
+    assert total == 402653183  # poison n+1: the max-prefix check fired
+
+
+def test_non_pow2_block_size_uniform_roundtrip():
+    """compress_many accepts a non-power-of-two block_size; the uniform
+    decompress bucket must round to a power of two instead of tripping the
+    device kernels' shape asserts."""
+    rng = np.random.default_rng(11)
+    data = bytes(rng.integers(0, 64, 150000, dtype=np.uint8))
+    blobs = api.compress_many([data], block_size=100000, uniform=True)
+    assert api.decompress_many(blobs, uniform=True) == [data]
