@@ -239,3 +239,43 @@ def test_non_pow2_block_size_uniform_roundtrip():
     data = bytes(rng.integers(0, 64, 150000, dtype=np.uint8))
     blobs = api.compress_many([data], block_size=100000, uniform=True)
     assert api.decompress_many(blobs, uniform=True) == [data]
+
+
+def test_fused_decode_totals_wrap_aliasing_container():
+    """End-to-end pin of the wrap defense: a CRC-valid container whose
+    RLE0 digit stream's int32 contribution sum is exactly pre_len + 2^32
+    (so a naive 32-bit total would alias pre_len) must fail closed via the
+    max-prefix poison, not decode to silently wrong bytes."""
+    n = 3000
+    target = n + (1 << 32)
+    # digits b_j, contributions (1+b_j) << min(j, 22): base (all RUNA) +
+    # flips chosen so the true sum is exactly `target`
+    m = 535
+    base = ((1 << 22) - 1) + (m - 22) * (1 << 22)
+    extra = target - base
+    hi_flips = min(extra // (1 << 22), m - 22)
+    rem = extra - hi_flips * (1 << 22)
+    assert 0 <= rem < (1 << 22), "construction arithmetic drifted"
+    bits = []
+    for j in range(m):
+        if j < 22:
+            bits.append((rem >> j) & 1)
+        else:
+            bits.append(1 if (j - 22) < hi_flips else 0)
+    total = sum((1 + b) << min(j, 22) for j, b in enumerate(bits))
+    assert total == target and total % (1 << 32) == n  # aliases pre_len
+    # canonical 1-bit codes for the 2-symbol alphabet {RUNA, RUNB}:
+    # code(RUNA)=0, code(RUNB)=1 -> the payload bits ARE the digits
+    payload = bytearray((m + 7) // 8)
+    for j, b in enumerate(bits):
+        if b:
+            payload[j >> 3] |= 0x80 >> (j & 7)
+    lens = np.zeros(container.ALPHABET, np.uint8)
+    present = np.zeros(container.ALPHABET, bool)
+    lens[0] = lens[1] = 1
+    present[0] = present[1] = True
+    raw = container.pack_block(n, 7, lens, present, bytes(payload),
+                               cps=(), rle_len=m, pre_len=n)
+    blob = container.pack_file([raw], 4096, n)
+    with pytest.raises(ValueError, match="corrupt"):
+        api.decompress_bytes(blob)
